@@ -1,0 +1,24 @@
+"""CLI entry point: ``python main.py --dir <dataset>``.
+
+Byte-compatible with the reference CLI (main.py:1-19) but dispatches through
+the benchmark registry instead of hand-written if/elif imports, and supports
+all nine benchmarks (the reference wires only cremad/food101/enrico/mimic).
+Extra flags: ``--seed N`` and repeatable ``--set key=value`` config
+overrides.
+"""
+
+from multimodal_clinical_tpu.benchmarks import get_benchmark
+from multimodal_clinical_tpu.config import setup_configs
+from multimodal_clinical_tpu.engine.run import run_benchmark
+
+
+def run_training(argv=None):
+    args = setup_configs(argv)
+    benchmark = get_benchmark(args.dir)
+    summary = run_benchmark(args, benchmark)
+    print({k: round(v, 4) for k, v in summary.items()})
+    return summary
+
+
+if __name__ == "__main__":
+    run_training()

@@ -1,0 +1,185 @@
+"""Crema-D benchmark (north-star #1): audio log-spectrogram + 3 video frames,
+6-way emotion classification.
+
+Data (reference cremad/get_data.py): train.csv/test.csv file lists; pickled
+(257, 1004) spectrograms; 3 JPEG frames per clip resized to 224x224 with
+train-time random crop/flip and eval-time center crop; balanced weighted
+samplers on train and val; VAL IS THE TEST SET (get_data.py:160-166 quirk —
+preserved).  Images are normalized with the ImageNet mean/std
+(get_data.py:94-109 transforms).
+
+All ten model variants from the reference factory (cremad/__init__.py:4-23):
+  jlogits / jprobas / ensemble (CE x3, cremad/ensemble_model.py:54-55) /
+  ogm_ge (alpha from yaml) / ensemble_ogm_ge (ensemble + modulation,
+  ensemble_model_noised.py:118-123) / qmf / qmf_ablate /
+  qmf_ablate_Ljoint / qmf_ablate_Lunimodal / ogm_ge_lreg (QMF loss +
+  OGM-GE modulation, joint_model_ogm_ge_lreg.py).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import pickle
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.core import ArrayDataset
+from ..data.synthetic import make_synthetic_splits
+from ..engine.run import DataBundle
+from ..engine.spec import ModelSpec
+from ..models.zoo import CremadFusionNet
+
+MODEL_TYPES = ("jlogits", "jprobas", "ensemble", "ogm_ge", "ensemble_ogm_ge",
+               "qmf", "qmf_ablate", "qmf_ablate_Ljoint",
+               "qmf_ablate_Lunimodal", "ogm_ge_lreg")
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class CremadDiskDataset:
+    """Lazy per-batch loader over pickled spectrograms + JPEG frames.
+
+    Unlike the in-memory adapters, Crema-D data (~GBs) is read at gather
+    time on the host prefetch thread; decoded frames are center-cropped
+    (eval) or randomly cropped/flipped (train) like the reference
+    torchvision transforms (cremad/get_data.py:94-109).
+    """
+
+    def __init__(self, data_dir: str, items, train: bool, seed: int = 0):
+        self.data_dir = data_dir
+        self.items = items  # list of (clip_id, label)
+        self.train = train
+        self.labels = np.asarray([lab for _, lab in items], np.int32)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load_frames(self, clip_id: str) -> np.ndarray:
+        from PIL import Image
+
+        frame_dir = os.path.join(self.data_dir, "image", clip_id)
+        names = sorted(os.listdir(frame_dir))[:3]
+        frames = []
+        for name in names:
+            img = Image.open(os.path.join(frame_dir, name)).convert("RGB")
+            w, h = img.size
+            scale = 256.0 / min(w, h)
+            img = img.resize((int(round(w * scale)), int(round(h * scale))))
+            arr = np.asarray(img, np.float32) / 255.0
+            hh, ww = arr.shape[:2]
+            if self.train:
+                top = self._rng.integers(0, hh - 224 + 1)
+                left = self._rng.integers(0, ww - 224 + 1)
+                arr = arr[top:top + 224, left:left + 224]
+                if self._rng.random() < 0.5:
+                    arr = arr[:, ::-1]
+            else:
+                top, left = (hh - 224) // 2, (ww - 224) // 2
+                arr = arr[top:top + 224, left:left + 224]
+            frames.append((arr - _IMAGENET_MEAN) / _IMAGENET_STD)
+        while len(frames) < 3:
+            frames.append(frames[-1])
+        return np.stack(frames)  # (3, 224, 224, 3)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        specs, frames, labels = [], [], []
+        for i in indices:
+            clip_id, label = self.items[int(i)]
+            with open(os.path.join(self.data_dir, "audio_spec",
+                                   clip_id + ".pkl"), "rb") as f:
+                spec = pickle.load(f)
+            specs.append(np.asarray(spec, np.float32)[..., None])
+            frames.append(self._load_frames(clip_id))
+            labels.append(label)
+        return {
+            "x1": np.stack(specs),
+            "x2": np.stack(frames),
+            "label": np.asarray(labels, np.int32),
+        }
+
+
+_CLASSES = {"NEU": 0, "HAP": 1, "SAD": 2, "FEA": 3, "DIS": 4, "ANG": 5}
+
+
+def _read_split(data_dir: str, csv_name: str):
+    items = []
+    with open(os.path.join(data_dir, csv_name)) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            clip_id, cls = row[0], row[1]
+            if cls not in _CLASSES:
+                continue
+            if os.path.exists(os.path.join(data_dir, "audio_spec",
+                                           clip_id + ".pkl")):
+                items.append((clip_id, _CLASSES[cls]))
+    return items
+
+
+def get_data(args) -> DataBundle:
+    data_dir = getattr(args, "data_path", "data/cremad/")
+    seed = int(getattr(args, "seed", 0))
+    if os.path.exists(os.path.join(data_dir, "train.csv")):
+        train_items = _read_split(data_dir, "train.csv")
+        test_items = _read_split(data_dir, "test.csv")
+        train = CremadDiskDataset(data_dir, train_items, True, seed)
+        test = CremadDiskDataset(data_dir, test_items, False, seed)
+        val = test  # reference quirk: val IS test (cremad/get_data.py:160-166)
+        synthetic = False
+    else:
+        print(f"[cremad] real data not found under {data_dir!r}; "
+              "using synthetic twin")
+        train, val, test = make_synthetic_splits(
+            "cremad", int(args.num_classes), seed,
+            n_train=64, n_val=32, n_test=32,
+        )
+        synthetic = True
+    # balanced samplers on train and val, sequential test
+    # (cremad/run_trainer.py:40-70)
+    return DataBundle(train, val, test, train_sampler="weighted",
+                      val_sampler="weighted", synthetic=synthetic)
+
+
+def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+    model_type = getattr(args, "model_type", "jlogits")
+    module = CremadFusionNet(num_classes=int(args.num_classes))
+    alpha = float(getattr(args, "alpha", 0.8))
+    grad_mod = getattr(args, "grad_mod_type", "OGM_GE")
+
+    if model_type == "jlogits":
+        spec = ModelSpec(module=module, contract="jlogits")
+    elif model_type == "jprobas":
+        spec = ModelSpec(module=module, contract="jprobas")
+    elif model_type == "ensemble":
+        spec = ModelSpec(module=module, contract="ensemble",
+                         unimodal_loss_scale=3.0)
+    elif model_type == "ogm_ge":
+        spec = ModelSpec(module=module, contract="ogm_ge",
+                         grad_mod_type=grad_mod, ogm_alpha=alpha)
+    elif model_type == "ensemble_ogm_ge":
+        spec = ModelSpec(module=module, contract="ensemble",
+                         unimodal_loss_scale=3.0, apply_grad_mod=True,
+                         grad_mod_type=grad_mod, ogm_alpha=alpha)
+    elif model_type == "qmf":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train)
+    elif model_type == "qmf_ablate":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train, qmf_ablate_train=True)
+    elif model_type == "qmf_ablate_Ljoint":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train, qmf_drop_joint=True)
+    elif model_type == "qmf_ablate_Lunimodal":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train, qmf_drop_unimodal=True)
+    elif model_type == "ogm_ge_lreg":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train, apply_grad_mod=True,
+                         grad_mod_type=grad_mod, ogm_alpha=alpha)
+    else:
+        raise NotImplementedError(f"cremad model_type {model_type!r}")
+    return spec, {}

@@ -1,0 +1,149 @@
+"""Enrico benchmark: UI screenshot + wireframe images, 20 design topics.
+
+Data (reference enrico/get_data.py:40-200): ``design_topics.csv`` with
+screen ids + topics; corrupted ids {50105, 50109} dropped; deterministic
+shuffle-split 65/15/20 by seed 42; images resized to 256x128 and scaled to
+[0, 1]; inverse-frequency weighted train sampler.  The whole dataset is
+~1.4k images, so it is decoded once up front into memory (the reference
+re-decodes JPEG/PNG in every worker __getitem__ — a host hot loop).
+
+Modality-noise experiments (enrico/get_data_noised.py:135-186): with
+probability ``noise_p`` a sample's screenshot (x1) is swapped with one from
+a different class, keeping x2 and the label; ``label_noise_p`` corrupts
+labels uniformly.  Both reproduced here at load time.
+
+Model variants (enrico/__init__.py factory):
+  jlogits         — ResNet18Slim pair, frozen features (joint_model.py),
+                    StepLR(10, 0.5)
+  ensemble        — unfrozen features (ensemble_model.py), StepLR(70, 0.5)
+  ensemble_vicreg — ensemble + VICReg(emb1, emb2) * 0.1
+                    (ensemble_model_vicreg.py:151)
+  ensemble_counts / jlogits_counts — analysis variants (per-head min-loss
+                    counters / VGG11Slim backbone); mapped to their base
+                    contracts (count streams tracked in eval outputs).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.core import ArrayDataset
+from ..data.synthetic import make_synthetic_splits
+from ..engine.run import DataBundle
+from ..engine.spec import ModelSpec
+from ..models.zoo import EnricoFusionNet, EnricoVGGFusionNet
+
+MODEL_TYPES = ("jlogits", "ensemble", "ensemble_vicreg", "ensemble_counts",
+               "jlogits_counts")
+IGNORES = {"50105", "50109"}
+
+
+def _decode_image(path: str, size=(256, 128)) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size[1], size[0]))
+    return (np.asarray(img, np.float32) / 255.0)  # (H, W, 3) in [0,1]
+
+
+def _load_real(data_dir: str, seed42: int = 42):
+    csv_file = os.path.join(data_dir, "design_topics.csv")
+    with open(csv_file) as f:
+        examples = [e for e in csv.DictReader(f) if e["screen_id"] not in IGNORES]
+    topics = sorted({e["topic"] for e in examples})
+    topic2idx = {t: i for i, t in enumerate(topics)}
+
+    keys = list(range(len(examples)))
+    random.Random(seed42).shuffle(keys)
+    n = len(examples)
+    splits = {
+        "train": keys[: int(n * 0.65)],
+        "val": keys[int(n * 0.65): int(n * 0.80)],
+        "test": keys[int(n * 0.80):],
+    }
+
+    def build(split_keys):
+        imgs, wires, labels = [], [], []
+        for k in split_keys:
+            e = examples[k]
+            sid = e["screen_id"]
+            imgs.append(_decode_image(os.path.join(data_dir, "screenshots",
+                                                   sid + ".jpg")))
+            wires.append(_decode_image(os.path.join(data_dir, "wireframes",
+                                                    sid + ".png")))
+            labels.append(topic2idx[e["topic"]])
+        return ArrayDataset([np.stack(imgs), np.stack(wires)],
+                            np.asarray(labels, np.int32))
+
+    return build(splits["train"]), build(splits["val"]), build(splits["test"])
+
+
+def _apply_noise(train: ArrayDataset, noise_p: float, label_noise_p: float,
+                 num_classes: int, seed: int) -> ArrayDataset:
+    """Cross-class x1 swap + label noise (enrico/get_data_noised.py:135-186)."""
+    rng = np.random.default_rng((seed, 1234))
+    x1, x2 = train.modalities
+    labels = train.labels.copy()
+    n = len(labels)
+    if noise_p > 0:
+        x1 = x1.copy()
+        swap_mask = rng.random(n) < noise_p
+        for i in np.nonzero(swap_mask)[0]:
+            other = np.nonzero(labels != labels[i])[0]
+            if len(other):
+                x1[i] = train.modalities[0][rng.choice(other)]
+    if label_noise_p > 0:
+        flip = rng.random(n) < label_noise_p
+        labels[flip] = rng.integers(0, num_classes, size=int(flip.sum()))
+    return ArrayDataset([x1, x2], labels)
+
+
+def get_data(args) -> DataBundle:
+    data_dir = getattr(args, "data_path", "data/enrico/")
+    if os.path.exists(os.path.join(data_dir, "design_topics.csv")):
+        train, val, test = _load_real(data_dir)
+        synthetic = False
+    else:
+        print(f"[enrico] real data not found under {data_dir!r}; "
+              "using synthetic twin")
+        train, val, test = make_synthetic_splits(
+            "enrico", int(args.num_classes), int(getattr(args, "seed", 0)),
+            n_train=128, n_val=32, n_test=32,
+        )
+        synthetic = True
+    noise_p = float(getattr(args, "noise_p", 0.0) or 0.0)
+    label_noise_p = float(getattr(args, "label_noise_p", 0.0) or 0.0)
+    if noise_p or label_noise_p:
+        train = _apply_noise(train, noise_p, label_noise_p,
+                             int(args.num_classes),
+                             int(getattr(args, "seed", 0)))
+    return DataBundle(train, val, test, train_sampler="weighted",
+                      synthetic=synthetic)
+
+
+def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+    model_type = getattr(args, "model_type", "jlogits")
+    num_classes = int(args.num_classes)
+    dropout_p = float(getattr(args, "dropout_p", 0.2) or 0.2)
+    if model_type in ("jlogits", "jlogits_counts"):
+        module = (EnricoVGGFusionNet(num_classes, dropout_p=dropout_p)
+                  if model_type == "jlogits_counts"
+                  else EnricoFusionNet(num_classes, freeze_features=True))
+        spec = ModelSpec(module=module, contract="jlogits",
+                         sched_step_size=10, sched_gamma=0.5)
+    elif model_type in ("ensemble", "ensemble_counts"):
+        module = EnricoFusionNet(num_classes, freeze_features=False)
+        spec = ModelSpec(module=module, contract="ensemble",
+                         sched_step_size=70, sched_gamma=0.5)
+    elif model_type == "ensemble_vicreg":
+        module = EnricoFusionNet(num_classes, freeze_features=False)
+        spec = ModelSpec(module=module, contract="ensemble",
+                         vicreg_weight=0.1,
+                         sched_step_size=70, sched_gamma=0.5)
+    else:
+        raise NotImplementedError(f"enrico model_type {model_type!r}")
+    return spec, {}

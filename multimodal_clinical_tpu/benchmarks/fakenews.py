@@ -1,0 +1,118 @@
+"""Fakeddit benchmark: post text + image, 6-way fake-news classification.
+
+The reference left this benchmark BROKEN: fakenews/run_training.py:42-44
+imports a ``joint_model`` module that does not exist, and fakenews/model.py
+holds an older concat-fusion design outside the base-class hierarchy
+(SURVEY §2.3).  This module completes the design in the framework's
+late-fusion style: BERT-tokenized text through a small transformer tower +
+a scratch ResNet18 image tower, jlogits/ensemble contracts.
+
+Data: TSV with ``clean_title`` + image id + ``6_way_label`` columns
+(fakenews/get_data.py tsv schema); text tokenized with the HF bert-base
+tokenizer when available locally (transformers is baked in but weights may
+not be — falls back to a hash-bucket tokenizer, documented divergence);
+images decoded + resized to 224.  Synthetic twin when files are absent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.synthetic import make_synthetic_splits
+from ..engine.run import DataBundle
+from ..engine.spec import ModelSpec
+from ..models.zoo import FakeNewsFusionNet
+
+MODEL_TYPES = ("jlogits", "ensemble")
+
+
+def _hash_tokenize(text: str, max_len: int, vocab: int) -> np.ndarray:
+    ids = [(hash(tok) % (vocab - 2)) + 2 for tok in text.lower().split()]
+    ids = ids[:max_len]
+    return np.asarray(ids + [0] * (max_len - len(ids)), np.int32)
+
+
+class FakeNewsDiskDataset:
+    def __init__(self, data_dir: str, tsv: str, max_len: int, vocab: int):
+        import csv as _csv
+
+        self.data_dir = data_dir
+        self.max_len = max_len
+        self.vocab = vocab
+        self.items = []
+        with open(os.path.join(data_dir, tsv)) as f:
+            for row in _csv.DictReader(f, delimiter="\t"):
+                img = os.path.join(data_dir, "images", row["id"] + ".jpg")
+                if os.path.exists(img):
+                    self.items.append((row.get("clean_title", ""), img,
+                                       int(row["6_way_label"])))
+        self.labels = np.asarray([l for _, _, l in self.items], np.int32)
+        self._tokenizer = None
+        try:
+            from transformers import BertTokenizerFast
+
+            self._tokenizer = BertTokenizerFast.from_pretrained(
+                "bert-base-uncased", local_files_only=True)
+        except Exception:
+            print("[fakenews] HF tokenizer unavailable; hash tokenizer in use")
+
+    def __len__(self):
+        return len(self.items)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        toks, imgs, labels = [], [], []
+        for i in indices:
+            text, img_path, label = self.items[int(i)]
+            if self._tokenizer is not None:
+                enc = self._tokenizer(text, max_length=self.max_len,
+                                      truncation=True, padding="max_length")
+                toks.append(np.asarray(enc["input_ids"], np.int32))
+            else:
+                toks.append(_hash_tokenize(text, self.max_len, self.vocab))
+            img = Image.open(img_path).convert("RGB").resize((224, 224))
+            imgs.append(np.asarray(img, np.float32) / 255.0)
+            labels.append(label)
+        return {"x1": np.stack(toks), "x2": np.stack(imgs),
+                "label": np.asarray(labels, np.int32)}
+
+
+def get_data(args) -> DataBundle:
+    data_dir = getattr(args, "data_path", "data/fakenews/")
+    max_len = int(getattr(args, "max_seq_len", 128))
+    vocab = int(getattr(args, "vocab_size", 30522))
+    train_tsv = os.path.join(data_dir, "train.tsv")
+    if os.path.exists(train_tsv):
+        train = FakeNewsDiskDataset(data_dir, "train.tsv", max_len, vocab)
+        val = FakeNewsDiskDataset(data_dir, "validate.tsv", max_len, vocab)
+        test = FakeNewsDiskDataset(data_dir, "test.tsv", max_len, vocab)
+        synthetic = False
+    else:
+        print(f"[fakenews] real data not found under {data_dir!r}; "
+              "using synthetic twin")
+        train, val, test = make_synthetic_splits(
+            "fakenews", int(args.num_classes), int(getattr(args, "seed", 0)),
+            n_train=64, n_val=32, n_test=32,
+        )
+        synthetic = True
+    return DataBundle(train, val, test, train_sampler="random",
+                      synthetic=synthetic)
+
+
+def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+    model_type = getattr(args, "model_type", "jlogits")
+    module = FakeNewsFusionNet(
+        num_classes=int(args.num_classes),
+        vocab_size=int(getattr(args, "vocab_size", 30522)),
+    )
+    if model_type == "jlogits":
+        spec = ModelSpec(module=module, contract="jlogits")
+    elif model_type == "ensemble":
+        spec = ModelSpec(module=module, contract="ensemble")
+    else:
+        raise NotImplementedError(f"fakenews model_type {model_type!r}")
+    return spec, {}

@@ -1,0 +1,120 @@
+"""UPMC Food-101 benchmark (north-star #2): recipe text + food image,
+101-way, SigLIP dual-tower backbone.
+
+Data (reference food101/get_data.py:101-117): precomputed SigLIP
+``input_ids`` (64 tokens) and ``pixel_values`` (224x224) ``.npy`` tensors
+per sample, listed by ``my_{train,dev,test}_food.txt``; idx appended for
+qmf/lreg.  Pixel tensors are stored CHW by the HF processor and converted
+to NHWC here.  Falls back to a synthetic twin when files are absent.
+
+Model variants (food101/__init__.py factory):
+  jlogits / ensemble — SigLIP towers fully trainable + two MLP heads
+      (768->512->512->C, dropout 0.2), StepLR(50, 0.5)
+      (food101/joint_model.py:83)
+  ogm_ge — heads named x1_model/x2_model carry no 4-D params, so the
+      modulation is the reference's documented no-op
+      (food101/joint_model_ogm_ge.py, SURVEY §2.3)
+  qmf — QMF loss over the two head logits (food101/joint_model_qmf.py)
+  jprobas / jprobas_jlogits — legacy frozen ResNet50+BERT variants in the
+      reference (joint_model_proba*.py); served here by the SigLIP backbone
+      under the probas contracts (architecture divergence documented: the
+      legacy torchvision/BERT towers exist only as frozen feature
+      extractors for a superseded data pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.synthetic import make_synthetic_splits
+from ..engine.run import DataBundle
+from ..engine.spec import ModelSpec
+from ..models.zoo import Food101FusionNet
+
+MODEL_TYPES = ("jlogits", "ensemble", "ogm_ge", "qmf", "jprobas",
+               "jprobas_jlogits")
+
+
+class Food101DiskDataset:
+    """Per-sample .npy token/pixel tensors read lazily at gather time."""
+
+    def __init__(self, data_dir: str, split_file: str):
+        self.data_dir = data_dir
+        self.items = []
+        with open(os.path.join(data_dir, split_file)) as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) >= 2:
+                    self.items.append((parts[0], int(parts[1])))
+        self.labels = np.asarray([l for _, l in self.items], np.int32)
+
+    def __len__(self):
+        return len(self.items)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        toks, pixels, labels = [], [], []
+        for i in indices:
+            name, label = self.items[int(i)]
+            stem = os.path.splitext(os.path.basename(name))[0]
+            toks.append(np.load(os.path.join(self.data_dir, "tokens",
+                                             stem + "_input_ids.npy")))
+            px = np.load(os.path.join(self.data_dir, "tokens",
+                                      stem + "_pixel_values.npy"))
+            if px.ndim == 4:
+                px = px[0]
+            pixels.append(px.transpose(1, 2, 0))  # CHW -> HWC
+            labels.append(label)
+        return {
+            "x1": np.stack(toks).astype(np.int32).reshape(len(indices), -1),
+            "x2": np.stack(pixels).astype(np.float32),
+            "label": np.asarray(labels, np.int32),
+        }
+
+
+def get_data(args) -> DataBundle:
+    data_dir = getattr(args, "data_path", "data/food101/")
+    train_txt = os.path.join(data_dir, "my_train_food.txt")
+    if os.path.exists(train_txt):
+        train = Food101DiskDataset(data_dir, "my_train_food.txt")
+        val = Food101DiskDataset(data_dir, "my_dev_food.txt")
+        test = Food101DiskDataset(data_dir, "my_test_food.txt")
+        synthetic = False
+    else:
+        print(f"[food101] real data not found under {data_dir!r}; "
+              "using synthetic twin")
+        train, val, test = make_synthetic_splits(
+            "food101", int(args.num_classes), int(getattr(args, "seed", 0)),
+            n_train=128, n_val=32, n_test=32,
+        )
+        synthetic = True
+    return DataBundle(train, val, test, train_sampler="random",
+                      synthetic=synthetic)
+
+
+def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+    model_type = getattr(args, "model_type", "qmf")
+    module = Food101FusionNet(num_classes=int(args.num_classes))
+    common = dict(sched_step_size=50, sched_gamma=0.5)
+    if model_type == "jlogits":
+        spec = ModelSpec(module=module, contract="jlogits", **common)
+    elif model_type == "ensemble":
+        spec = ModelSpec(module=module, contract="ensemble", **common)
+    elif model_type == "ogm_ge":
+        spec = ModelSpec(module=module, contract="ogm_ge",
+                         grad_mod_type=getattr(args, "grad_mod_type", "OGM_GE"),
+                         ogm_alpha=float(getattr(args, "alpha", 0.1)),
+                         **common)
+    elif model_type == "qmf":
+        spec = ModelSpec(module=module, contract="qmf",
+                         n_train_samples=n_train, **common)
+    elif model_type in ("jprobas", "jprobas_jlogits"):
+        spec = ModelSpec(
+            module=module, contract="jprobas",
+            eval_fusion="logits" if model_type == "jprobas_jlogits" else None,
+            **common)
+    else:
+        raise NotImplementedError(f"food101 model_type {model_type!r}")
+    return spec, {}

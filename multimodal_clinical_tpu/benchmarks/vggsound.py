@@ -1,0 +1,175 @@
+"""VGGSound benchmark: 309-class audio-visual classification (largest data,
+~338 GB; the reference's only published throughput number lives here —
+vggsound/README.md:5-6, 392 samples/s on a ~24 GB GPU).
+
+Data (reference vggsound/get_data.py): csv-driven file lists with existence
+filtering; audio decoded ON THE FLY in DataLoader workers — load 16 kHz
+mono, tile to >=10 s, random 5 s crop, librosa.stft(n_fft=256, hop=128),
+log(abs + 1e-7), train-time SpecAugment (get_data.py:106-128); visual =
+``use_video_frames`` random frames.  Batch audio shape (B, 129, 626).
+
+TPU-native redesign of that hot loop: the host reads+crops RAW WAVEFORMS
+only (stdlib wave / soundfile, no librosa/DSP on host) and ships (B, 80000)
+float32 to the device; the STFT->log spectrogram runs inside jit as an MXU
+matmul (ops/spectrogram.log_spectrogram) and SpecAugment as a fused masking
+op (ops/specaugment.spec_augment).  This inverts the reference's
+input-bound profile: host does IO, device does DSP.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import wave
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..data.synthetic import make_synthetic_splits
+from ..engine.run import DataBundle
+from ..engine.spec import ModelSpec
+from ..models.zoo import CremadFusionNet
+
+MODEL_TYPES = ("jlogits", "jprobas", "ensemble")
+SR = 16000
+CROP_SEC = 5
+
+
+def _read_wav(path: str) -> np.ndarray:
+    """Read a 16-bit PCM wav to float32 in [-1, 1] (host IO only)."""
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        data = np.frombuffer(w.readframes(n), dtype=np.int16)
+        if w.getnchannels() > 1:
+            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    return (data / 32768.0).astype(np.float32)
+
+
+class VGGSoundDiskDataset:
+    """Host side: raw waveform crop + frame decode; DSP happens on device."""
+
+    def __init__(self, data_dir: str, items, train: bool,
+                 use_video_frames: int = 4, seed: int = 0):
+        self.data_dir = data_dir
+        self.items = items  # list of (clip_id, label)
+        self.train = train
+        self.use_video_frames = use_video_frames
+        self.labels = np.asarray([l for _, l in items], np.int32)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.items)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        waves, frames, labels = [], [], []
+        for i in indices:
+            clip_id, label = self.items[int(i)]
+            wav = _read_wav(os.path.join(self.data_dir, "audio",
+                                         clip_id + ".wav"))
+            while len(wav) < SR * 10:
+                wav = np.tile(wav, 2)
+            start = self._rng.integers(0, SR * 5 + 1) if self.train else 0
+            crop = np.clip(wav[start:start + SR * CROP_SEC], -1.0, 1.0)
+            waves.append(crop)
+
+            frame_dir = os.path.join(self.data_dir, "frames", clip_id)
+            names = sorted(os.listdir(frame_dir))
+            if self.train:
+                picks = self._rng.choice(len(names), self.use_video_frames,
+                                         replace=len(names) <
+                                         self.use_video_frames)
+            else:
+                picks = np.linspace(0, len(names) - 1,
+                                    self.use_video_frames).astype(int)
+            fs = []
+            for p in picks:
+                img = Image.open(os.path.join(frame_dir, names[int(p)])
+                                 ).convert("RGB").resize((224, 224))
+                fs.append(np.asarray(img, np.float32) / 255.0)
+            frames.append(np.stack(fs))
+            labels.append(label)
+        return {
+            # raw waveform: the train step (or eval) maps it through the
+            # on-device log_spectrogram + SpecAugment graph
+            "x1_waveform": np.stack(waves),
+            "x2": np.stack(frames),
+            "label": np.asarray(labels, np.int32),
+        }
+
+
+def _read_csv_items(data_dir: str, csv_name: str, split: str):
+    items, classes = [], {}
+    path = os.path.join(data_dir, csv_name)
+    with open(path) as f:
+        for row in csv.reader(f):
+            if len(row) < 4 or row[3] != split:
+                continue
+            clip_id, cls = f"{row[0]}_{row[1]}", row[2]
+            classes.setdefault(cls, len(classes))
+            if os.path.exists(os.path.join(data_dir, "audio",
+                                           clip_id + ".wav")):
+                items.append((clip_id, classes[cls]))
+    return items
+
+
+def get_data(args) -> DataBundle:
+    data_dir = getattr(args, "data_path", "data/vggsound/")
+    csv_path = os.path.join(data_dir, "vggsound.csv")
+    if os.path.exists(csv_path):
+        seed = int(getattr(args, "seed", 0))
+        nframes = int(getattr(args, "use_video_frames", 4))
+        train = VGGSoundDiskDataset(
+            data_dir, _read_csv_items(data_dir, "vggsound.csv", "train"),
+            True, nframes, seed)
+        test = VGGSoundDiskDataset(
+            data_dir, _read_csv_items(data_dir, "vggsound.csv", "test"),
+            False, nframes, seed)
+        val = test  # reference quirk: val IS test (vggsound/get_data.py:180-185)
+        synthetic = False
+    else:
+        print(f"[vggsound] real data not found under {data_dir!r}; "
+              "using synthetic twin")
+        train, val, test = make_synthetic_splits(
+            "vggsound", int(args.num_classes), int(getattr(args, "seed", 0)),
+            n_train=64, n_val=32, n_test=32,
+        )
+        synthetic = True
+    return DataBundle(train, val, test, train_sampler="weighted",
+                      synthetic=synthetic)
+
+
+def device_preprocess(batch, rng, train: bool):
+    """Raw waveform -> (B, 129, 626, 1) log-spectrogram (+ SpecAugment at
+    train), fused into the jitted step (vggsound/get_data.py:106-128
+    equivalents, on device)."""
+    from ..ops.spectrogram import log_spectrogram
+    from ..ops.specaugment import spec_augment
+
+    if "x1_waveform" not in batch:
+        return batch
+    batch = dict(batch)
+    spec2d = log_spectrogram(batch.pop("x1_waveform"), n_fft=256, hop=128)
+    if train:
+        spec2d = spec_augment(rng, spec2d, freq_mask_param=30,
+                              time_mask_param=120, num_freq_masks=2,
+                              num_time_masks=3)
+    batch["x1"] = spec2d[..., None]
+    return batch
+
+
+def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+    model_type = getattr(args, "model_type", "jprobas")
+    module = CremadFusionNet(num_classes=int(args.num_classes))
+    common = dict(sched_step_size=30, sched_gamma=0.5,
+                  device_preprocess=device_preprocess)
+    if model_type == "jlogits":
+        spec = ModelSpec(module=module, contract="jlogits", **common)
+    elif model_type == "jprobas":
+        spec = ModelSpec(module=module, contract="jprobas", **common)
+    elif model_type == "ensemble":
+        spec = ModelSpec(module=module, contract="ensemble", **common)
+    else:
+        raise NotImplementedError(f"vggsound model_type {model_type!r}")
+    return spec, {}

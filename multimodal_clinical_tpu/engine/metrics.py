@@ -1,0 +1,119 @@
+"""Epoch-level metric aggregation with the reference's naming contract.
+
+Metric names are the de-facto public API for parity checking (SURVEY §5.5):
+``train_step/*``, ``train_epoch/train_avg_*``, ``val_epoch/val_avg_*``,
+``test_epoch/test_avg_*`` — including the reference's quirk that step-level
+uncalibrated accuracy is ``train_x1_uncal_acc`` while the epoch level is
+``train_avg_x1_acc_uncal`` (BaseModel.py:99 vs 124).
+
+Per-step values stay on device (appending a jax scalar to a list does not
+synchronize); the single host fetch happens at epoch end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .contracts import offset_correct
+
+_STEP_NAME_FIXUPS = {
+    # step-level logging uses *_uncal_acc (BaseModel.py:99-100)
+    "train_x1_acc_uncal": "train_x1_uncal_acc",
+    "train_x2_acc_uncal": "train_x2_uncal_acc",
+    "train_x3_acc_uncal": "train_x3_uncal_acc",
+}
+
+
+def step_metric_name(prefix: str, key: str) -> str:
+    return f"{prefix}_step/{_STEP_NAME_FIXUPS.get(key, key)}"
+
+
+class EpochAccumulator:
+    """Accumulates per-step metric dicts; one device->host fetch per epoch."""
+
+    def __init__(self) -> None:
+        self._buffers: Dict[str, List] = {}
+
+    def append(self, metrics: Dict) -> None:
+        for key, value in metrics.items():
+            self._buffers.setdefault(key, []).append(value)
+
+    def summary(self) -> Dict[str, float]:
+        out = {}
+        for key, values in self._buffers.items():
+            if key == "valid_count":
+                out[key] = float(np.sum(np.asarray(jnp.stack(values))))
+            else:
+                out[key] = float(np.mean(np.asarray(jnp.stack(values))))
+        return out
+
+    def clear(self) -> None:
+        self._buffers.clear()
+
+
+def train_epoch_summary(acc: EpochAccumulator) -> Dict[str, float]:
+    """train_epoch/train_avg_<metric> means (BaseModel.py:115-134)."""
+    raw = acc.summary()
+    out = {}
+    for key, value in raw.items():
+        if key == "valid_count":
+            continue
+        name = key[len("train_"):]
+        out[f"train_epoch/train_avg_{name}"] = value
+    return out
+
+
+def eval_epoch_summary(
+    outputs: List[Dict],
+    prefix: str,
+    with_offset_correction: bool = True,
+) -> Dict[str, float]:
+    """Aggregate eval-step outputs into the epoch namespace.
+
+    Implements the full-epoch unimodal offset correction over the
+    concatenated (N, M, C) logits (BaseModel.py:168-202), with padding rows
+    from fixed-shape batches removed before the correction.
+    """
+    avg_loss = float(np.mean([np.asarray(o["loss"]) for o in outputs]))
+    avg_acc = float(np.mean([np.asarray(o["acc"]) for o in outputs]))
+    summary = {
+        f"{prefix}_epoch/{prefix}_avg_acc": avg_acc,
+        f"{prefix}_epoch/{prefix}_avg_loss": avg_loss,
+    }
+
+    if "df_acc" in outputs[0]:
+        summary[f"{prefix}_epoch/{prefix}_avg_df_acc"] = float(
+            np.mean([np.asarray(o["df_acc"]) for o in outputs])
+        )
+
+    if "x1_acc" in outputs[0]:
+        # ensemble contract: per-modality step means, no offset correction
+        i = 1
+        while f"x{i}_acc" in outputs[0]:
+            summary[f"{prefix}_epoch/{prefix}_avg_x{i}_acc"] = float(
+                np.mean([np.asarray(o[f"x{i}_acc"]) for o in outputs])
+            )
+            i += 1
+        return summary
+
+    if not with_offset_correction:
+        return summary
+
+    logits = np.concatenate([np.asarray(o["logits_stack"]) for o in outputs])
+    labels = np.concatenate([np.asarray(o["label"]) for o in outputs])
+    valid = np.concatenate(
+        [np.asarray(o["valid"]).astype(bool) for o in outputs]
+    )
+    logits, labels = logits[valid], labels[valid]
+    corrected = np.asarray(offset_correct(jnp.asarray(logits)))
+
+    num_modality = logits.shape[1]
+    for i in range(num_modality):
+        uncal = float(np.mean(np.argmax(logits[:, i, :], axis=-1) == labels))
+        cal = float(np.mean(np.argmax(corrected[:, i, :], axis=-1) == labels))
+        summary[f"{prefix}_epoch/{prefix}_avg_x{i + 1}_acc_uncal"] = uncal
+        summary[f"{prefix}_epoch/{prefix}_avg_x{i + 1}_acc"] = cal
+    return summary

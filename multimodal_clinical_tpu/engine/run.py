@@ -1,0 +1,87 @@
+"""End-to-end run wiring: mesh -> data -> state -> Trainer -> fit -> test.
+
+The TPU-native equivalent of the reference's per-dataset ``run_training``
+functions (e.g. cremad/run_trainer.py:24-73): resolve config, build the
+device mesh, construct loaders with the dataset's sampler policy, initialize
+the TrainState (replicated over the mesh), fit with best-checkpointing, and
+test from the best checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.loader import Loader
+from ..data.sampler import RandomSampler, SequentialSampler, WeightedSampler
+from ..parallel.mesh import DATA_AXIS, make_mesh, replicated
+from .spec import ModelSpec
+from .state import create_train_state
+from .trainer import Trainer
+
+
+@dataclass
+class DataBundle:
+    train: Any
+    val: Any
+    test: Any
+    # sampler policy per split: 'weighted' | 'random' | 'sequential'
+    train_sampler: str = "random"
+    val_sampler: str = "sequential"
+    test_sampler: str = "sequential"
+    synthetic: bool = False
+
+
+def _make_sampler(kind: str, dataset, seed: int):
+    if kind == "weighted":
+        return WeightedSampler(dataset.labels, seed=seed)
+    if kind == "random":
+        return RandomSampler(len(dataset), seed=seed)
+    return SequentialSampler(len(dataset))
+
+
+def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]:
+    bs = int(args.batch_size)
+    dp = mesh.shape[DATA_AXIS]
+    if bs % dp != 0:
+        raise ValueError(f"batch_size {bs} not divisible by data-axis size {dp}")
+    seed = int(getattr(args, "seed", 0))
+    return (
+        Loader(data.train, bs, _make_sampler(data.train_sampler, data.train, seed),
+               mesh=mesh),
+        Loader(data.val, bs, _make_sampler(data.val_sampler, data.val, seed + 1),
+               mesh=mesh),
+        Loader(data.test, bs, _make_sampler(data.test_sampler, data.test, seed + 2),
+               mesh=mesh),
+    )
+
+
+def init_state_on_mesh(spec: ModelSpec, args, data: DataBundle, mesh,
+                       opt_kwargs: Optional[Dict] = None):
+    sample = data.train.gather(np.arange(min(2, len(data.train))))
+    sample_inputs = [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+    steps_per_epoch = max(1, -(-len(data.train) // int(args.batch_size)))
+    rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
+    state = create_train_state(spec, args, rng, sample_inputs, steps_per_epoch,
+                               **(opt_kwargs or {}))
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
+    )
+
+
+def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
+                  ) -> Dict[str, float]:
+    """Full fit+test for one benchmark; returns the test-epoch summary."""
+    mesh = make_mesh(getattr(args, "mesh_shape", None) or None)
+    data: DataBundle = benchmark_module.get_data(args)
+    spec, opt_kwargs = benchmark_module.get_model_spec(args, n_train=len(data.train))
+    train_loader, val_loader, test_loader = build_loaders(args, data, mesh)
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    trainer = Trainer(args, spec, state, train_loader, val_loader, test_loader,
+                      profile_dir=profile_dir)
+    trainer.fit()
+    return trainer.test()

@@ -1,0 +1,80 @@
+"""ModelSpec — the declarative description of one benchmark model variant.
+
+A ModelSpec replaces the reference's (base-class, FusionNet-file) pair: it
+names the flax module, the training contract, and the per-variant quirks
+(loss scales, fusion weights, scheduler params) that the reference spreads
+across ``<ds>/joint_model*.py`` files and ``configure_optimizers`` overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+from flax import linen as nn
+
+# Training contracts (the five reference base classes, utils/BaseModel.py):
+#   jlogits  — JointLogitsBaseModel:    CE on mean logits
+#   jprobas  — JointProbLogitsBaseModel: CE on log-mean-softmax
+#   ensemble — EnsembleBaseModel:       per-modality CE losses
+#   ogm_ge   — OGMGEBaseModel:          jlogits + gradient modulation
+#   qmf      — QMFBaseModel:            dynamic fusion + uni + ranking reg
+CONTRACTS = ("jlogits", "jprobas", "ensemble", "ogm_ge", "qmf")
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    module: nn.Module
+    contract: str = "jlogits"
+    num_modality: int = 2
+
+    # --- fusion variants ---
+    # eval fusion for jprobas models: "probas" (cremad jprobas default path —
+    # istrain defaults True so eval also fuses probs) or "logits"
+    # (jprobas_jlogits variants, avmnist/joint_model_proba_logits.py).
+    eval_fusion: Optional[str] = None
+    # ensemble fused-logit / loss weights (mimic/ensemble_model.py:127-128).
+    fusion_weights: Optional[Sequence[float]] = None
+    # per-modality CE scale (cremad/ensemble_model.py:54-55 uses 3.0).
+    unimodal_loss_scale: float = 1.0
+
+    # --- OGM-GE (ogm_ge contract, or ensemble_ogm_ge hybrid) ---
+    grad_mod_type: Optional[str] = None   # None|'OGM_GE'|'OGM'|'noise'
+    ogm_alpha: float = 0.1
+    # hybrid variants: apply OGM-GE on top of a non-jlogits contract
+    # (cremad/ensemble_model_noised.py, cremad/joint_model_ogm_ge_lreg.py).
+    apply_grad_mod: bool = False
+
+    # --- QMF ---
+    n_train_samples: int = 0       # sizes the History tables
+    qmf_ablate_train: bool = False  # qmf_ablate: train plain jlogits, eval df
+    qmf_drop_joint: bool = False    # ablate_Ljoint: loss_joint = 0
+    qmf_drop_unimodal: bool = False  # ablate_Lunimodal: drop sum of L_uni
+    use_qmf_reg: bool = False       # lreg variants add reg even without df loss
+
+    # --- VICReg (enrico/ensemble_model_vicreg.py:151) ---
+    vicreg_weight: float = 0.0
+
+    # --- optimizer schedule (StepLR step_size/gamma per model file) ---
+    sched_step_size: int = 70
+    sched_gamma: float = 0.1
+
+    # --- batching ---
+    use_idx: bool = False  # batch carries global sample indices (QMF/lreg)
+
+    # --- on-device input preprocessing ---
+    # Runs INSIDE the jitted step: (batch, rng, train) -> batch.  Used for
+    # fused input graphs (raw waveform -> STFT log-spectrogram, SpecAugment)
+    # replacing the reference's host-side DataLoader DSP (SURVEY §7).
+    device_preprocess: Optional[Callable] = None
+
+    def __post_init__(self):
+        base = self.contract
+        if base not in CONTRACTS:
+            raise ValueError(f"unknown contract {base!r}")
+        if self.contract == "qmf" and self.n_train_samples <= 0:
+            raise ValueError("qmf contract requires n_train_samples")
+        if self.contract in ("qmf",) or self.use_qmf_reg:
+            self.use_idx = True
+        if self.contract == "ogm_ge":
+            self.apply_grad_mod = True

@@ -1,0 +1,113 @@
+"""TrainState: the complete on-device training state pytree.
+
+Everything the reference keeps as Python-side mutable objects — optimizer
+buffers, the EMA calibrator (utils/EMA.py), QMF History tables
+(existing_algos/QMF.py:12-29) — lives here as device arrays, so one jitted
+``train_step`` owns the whole update with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..algos.qmf import init_history
+from .spec import ModelSpec
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: jnp.ndarray                 # (M, C) float32 EMA of batch-mean logits
+    rng: jax.Array                   # folded per step for dropout/noise
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    qmf_correctness: Optional[jnp.ndarray] = None   # (M, n_train) or None
+    qmf_confidence: Optional[jnp.ndarray] = None
+
+
+def make_lr_schedule(base_lr: float, use_scheduler: bool, steps_per_epoch: int,
+                     step_size_epochs: int, gamma: float,
+                     num_epochs: int) -> optax.Schedule:
+    """StepLR-per-epoch as a per-step piecewise-constant schedule
+    (utils/BaseModel.py:275-285)."""
+    if not use_scheduler or step_size_epochs <= 0:
+        return optax.constant_schedule(base_lr)
+    boundaries = {}
+    k = step_size_epochs
+    while k <= max(num_epochs, step_size_epochs):
+        boundaries[k * steps_per_epoch] = gamma
+        k += step_size_epochs
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def make_optimizer(schedule: optax.Schedule, momentum: float = 0.9,
+                   weight_decay: float = 1.0e-4) -> optax.GradientTransformation:
+    """SGD(momentum, weight_decay) matching torch ordering: wd is added to the
+    gradient before the momentum buffer (torch.optim.SGD), i.e. AFTER any
+    OGM-GE modulation of the raw loss gradient."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=False))
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    spec: ModelSpec,
+    args: Any,
+    rng: jax.Array,
+    sample_inputs: Any,
+    steps_per_epoch: int,
+    momentum: float = 0.9,
+    weight_decay: float = 1.0e-4,
+) -> TrainState:
+    """Initialize params/state from a sample batch (list of modality arrays)."""
+    init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
+    variables = spec.module.init(
+        {"params": init_rng, "dropout": dropout_rng},
+        *sample_inputs,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    schedule = make_lr_schedule(
+        float(args.learning_rate),
+        bool(getattr(args, "use_scheduler", False)),
+        steps_per_epoch,
+        spec.sched_step_size,
+        spec.sched_gamma,
+        int(getattr(args, "num_epochs", 1)),
+    )
+    tx = make_optimizer(schedule, momentum=momentum, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+
+    num_classes = int(args.num_classes)
+    ema = jnp.zeros((spec.num_modality, num_classes), jnp.float32)
+
+    qmf_corr = qmf_conf = None
+    if spec.contract == "qmf" or spec.use_qmf_reg:
+        qmf_corr, qmf_conf = init_history(spec.num_modality, spec.n_train_samples)
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        ema=ema,
+        rng=state_rng,
+        qmf_correctness=qmf_corr,
+        qmf_confidence=qmf_conf,
+        apply_fn=spec.module.apply,
+        tx=tx,
+    )

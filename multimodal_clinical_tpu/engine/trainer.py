@@ -1,0 +1,137 @@
+"""The training engine: epoch loop, eval, best-checkpoint, test.
+
+Functional replacement for the reference's Lightning Trainer wrapper
+(utils/run_trainer.py:6-70): fit over epochs with per-step metric streams,
+epoch-end validation with full-epoch offset correction, top-1 checkpoint on
+``val_epoch/val_avg_acc`` (max), then reload-best-and-test — plus what the
+reference lacks: step-time/samples-per-sec telemetry and optional
+``jax.profiler`` traces (SURVEY §5.1).
+
+The step functions are jitted SPMD programs; the loop only moves host
+batches (prefetched + sharded by the Loader) and fetches metric scalars at
+epoch boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..utils.logging import RunLogger
+from .checkpoint import BestCheckpointer
+from .metrics import (
+    EpochAccumulator,
+    eval_epoch_summary,
+    step_metric_name,
+    train_epoch_summary,
+)
+from .spec import ModelSpec
+from .state import TrainState
+from .steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        args: Any,
+        spec: ModelSpec,
+        state: TrainState,
+        train_loader,
+        val_loader,
+        test_loader,
+        run_dir: Optional[str] = None,
+        logger: Optional[RunLogger] = None,
+        profile_dir: Optional[str] = None,
+    ) -> None:
+        self.args = args
+        self.spec = spec
+        self.state = state
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+
+        data_path = str(getattr(args, "data_path", "runs")).rstrip("/")
+        group = getattr(args, "group_name", "run")
+        self.run_dir = run_dir or os.path.join(
+            getattr(args, "ckpt_dir", None) or f"{data_path}_ckpts", str(group)
+        )
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.logger = logger or RunLogger(
+            self.run_dir,
+            use_wandb=bool(getattr(args, "use_wandb", False)),
+            wandb_config=vars(args) if hasattr(args, "__dict__") else None,
+            group_name=str(group),
+        )
+        self.ckpt = BestCheckpointer(os.path.join(self.run_dir, "ckpt"))
+        self.train_step = make_train_step(spec)
+        self.eval_step = make_eval_step(spec)
+        self.log_every = int(getattr(args, "log_every_n_steps", 30) or 0)
+        self.profile_dir = profile_dir
+        self.history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------
+    def _run_eval(self, loader, prefix: str) -> Dict[str, float]:
+        outputs = []
+        for batch in loader:
+            outputs.append(self.eval_step(self.state, batch))
+        if not outputs:
+            return {}
+        return eval_epoch_summary(outputs, prefix)
+
+    def fit(self) -> Dict[str, float]:
+        num_epochs = int(getattr(self.args, "num_epochs", 1))
+        global_step = 0
+        last_val: Dict[str, float] = {}
+        for epoch in range(num_epochs):
+            self.train_loader.set_epoch(epoch)
+            acc = EpochAccumulator()
+            tic = time.perf_counter()
+            samples = 0
+            profiling = self.profile_dir is not None and epoch == 1
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
+            for batch in self.train_loader:
+                self.state, metrics = self.train_step(self.state, batch)
+                acc.append(metrics)
+                samples += batch["label"].shape[0]
+                global_step += 1
+                if self.log_every and global_step % self.log_every == 0:
+                    self.logger.log(
+                        {step_metric_name("train", k): float(np.asarray(v))
+                         for k, v in metrics.items() if k != "valid_count"},
+                        step=global_step,
+                    )
+            if profiling:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), self.state.params
+                )
+                jax.profiler.stop_trace()
+            # one device sync per epoch, after the summary fetch
+            epoch_summary = train_epoch_summary(acc)
+            wall = time.perf_counter() - tic
+            epoch_summary["train_epoch/samples_per_sec"] = samples / max(wall, 1e-9)
+            epoch_summary["train_epoch/epoch_time_sec"] = wall
+
+            val_summary = self._run_eval(self.val_loader, "val")
+            last_val = val_summary
+            self.logger.log_epoch({**epoch_summary, **val_summary}, epoch,
+                                  step=global_step)
+            self.history.append({**epoch_summary, **val_summary})
+
+            val_acc = val_summary.get("val_epoch/val_avg_acc")
+            if val_acc is not None:
+                self.ckpt.maybe_save(self.state, val_acc)
+        return last_val
+
+    def test(self, restore_best: bool = True) -> Dict[str, float]:
+        """Reload the best-val checkpoint and run the test epoch
+        (run_trainer.py:65-70)."""
+        if restore_best:
+            self.state = self.ckpt.restore_best(self.state)
+        summary = self._run_eval(self.test_loader, "test")
+        self.logger.log_epoch(summary, epoch=-1)
+        return summary

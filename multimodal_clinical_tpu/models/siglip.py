@@ -1,0 +1,265 @@
+"""SigLIP-base-patch16-224 dual tower in Flax (Food101 backbone).
+
+Reimplements the architecture the reference pulls in via HF
+``AutoModel.from_pretrained("google/siglip-base-patch16-224")``
+(food101/joint_model.py:36-38) and finetunes end-to-end:
+
+  * vision tower — ViT-B/16: 16x16 patch conv, learned position embeddings,
+    12 pre-LN transformer blocks (width 768, 12 heads, MLP 3072, gelu-tanh),
+    final LN, and SigLIP's MAP attention-pooling head (learned probe token).
+  * text tower — 12 blocks over 64 sentencepiece tokens (vocab 32000),
+    final LN, last-token pooling, linear head (HF SiglipTextModel pooling).
+
+Returns (text_embeds, image_embeds), both (B, 768) — matching the
+``output['text_embeds']/['image_embeds']`` the reference feeds its MLP heads
+(food101/joint_model.py:55-58).
+
+Pretrained weights: this environment has zero egress, so weights are ported
+from a LOCAL HF checkpoint when ``load_hf_siglip_params`` is given a path
+(safetensors or pytorch_model.bin read via torch-cpu); otherwise towers are
+randomly initialized (documented divergence affecting absolute Food101
+accuracy, not the training mechanics).
+
+TPU notes: attention and MLP matmuls are (B*L, 768) x (768, ...) MXU-shaped;
+compute dtype bf16 with fp32 params and LayerNorm statistics; static
+sequence lengths (196 patches / 64 tokens) — no dynamic shapes under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+WIDTH = 768
+LAYERS = 12
+HEADS = 12
+MLP_DIM = 3072
+PATCH = 16
+IMAGE_SIZE = 224
+TEXT_LEN = 64
+VOCAB = 32000
+
+
+def _gelu_tanh(x):
+    return nn.gelu(x, approximate=True)
+
+
+class EncoderBlock(nn.Module):
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
+                         name="layer_norm1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=HEADS, dtype=self.dtype, param_dtype=jnp.float32,
+            name="self_attn")(h, h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
+                         name="layer_norm2")(x)
+        h = nn.Dense(MLP_DIM, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_fc1")(h)
+        h = _gelu_tanh(h)
+        h = nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="mlp_fc2")(h)
+        return x + h
+
+
+class MAPHead(nn.Module):
+    """SigLIP multihead-attention-pooling head: learned probe attends over
+    the patch tokens, then LN + residual MLP."""
+
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        probe = self.param("probe", nn.initializers.xavier_uniform(),
+                           (1, 1, WIDTH), jnp.float32)
+        probe = jnp.broadcast_to(probe.astype(x.dtype), (b, 1, WIDTH))
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=HEADS, dtype=self.dtype, param_dtype=jnp.float32,
+            name="attention")(probe, x)
+        y = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
+                         name="layernorm")(h)
+        y2 = nn.Dense(MLP_DIM, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="mlp_fc1")(y)
+        y2 = _gelu_tanh(y2)
+        y2 = nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="mlp_fc2")(y2)
+        return (h + y2)[:, 0, :]
+
+
+class SigLIPVisionTower(nn.Module):
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """pixels: (B, 224, 224, 3) -> (B, 768)."""
+        x = nn.Conv(WIDTH, (PATCH, PATCH), strides=(PATCH, PATCH),
+                    padding="VALID", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="patch_embedding")(pixels)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        pos = self.param("position_embedding",
+                         nn.initializers.normal(0.02),
+                         (1, (IMAGE_SIZE // PATCH) ** 2, WIDTH), jnp.float32)
+        x = x + pos.astype(x.dtype)
+        for i in range(LAYERS):
+            x = EncoderBlock(dtype=self.dtype, name=f"layers_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
+                         name="post_layernorm")(x)
+        return MAPHead(dtype=self.dtype, name="head")(x)
+
+
+class SigLIPTextTower(nn.Module):
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        """token_ids: (B, 64) int32 -> (B, 768)."""
+        x = nn.Embed(VOCAB, WIDTH, param_dtype=jnp.float32,
+                     dtype=self.dtype, name="token_embedding")(token_ids)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (1, TEXT_LEN, WIDTH), jnp.float32)
+        x = x + pos[:, : x.shape[1], :].astype(x.dtype)
+        for i in range(LAYERS):
+            x = EncoderBlock(dtype=self.dtype, name=f"layers_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
+                         name="final_layer_norm")(x)
+        pooled = x[:, -1, :]  # HF SiglipTextModel: last-token pooling
+        return nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="head")(pooled)
+
+
+class SigLIPModel(nn.Module):
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, token_ids, pixels, train: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        text = SigLIPTextTower(dtype=self.dtype, name="text_model")(token_ids)
+        image = SigLIPVisionTower(dtype=self.dtype, name="vision_model")(pixels)
+        return text, image
+
+
+# ---------------------------------------------------------------------------
+# HF weight porting (local checkpoint only; gated)
+# ---------------------------------------------------------------------------
+def load_hf_siglip_params(checkpoint_path: str, params: dict) -> dict:
+    """Port google/siglip-base-patch16-224 torch weights into ``params``.
+
+    ``checkpoint_path`` points at an HF snapshot dir containing
+    ``model.safetensors`` or ``pytorch_model.bin``.  Returns a new params
+    tree with ported weights; raises on shape mismatch.
+    """
+    import os
+
+    state = None
+    st_path = os.path.join(checkpoint_path, "model.safetensors")
+    bin_path = os.path.join(checkpoint_path, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        state = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+
+        state = {k: v.numpy() for k, v in
+                 torch.load(bin_path, map_location="cpu").items()}
+    else:
+        raise FileNotFoundError(f"no HF weights under {checkpoint_path}")
+
+    import copy
+
+    new = copy.deepcopy(jnp_to_np(params))
+    _port_tower(state, new["text_model"], "text_model.encoder", text=True)
+    _port_tower(state, new["vision_model"], "vision_model.encoder", text=False)
+    # embeddings + heads
+    new["text_model"]["token_embedding"]["embedding"] = _g(
+        state, "text_model.embeddings.token_embedding.weight")
+    new["text_model"]["position_embedding"] = _g(
+        state, "text_model.embeddings.position_embedding.weight")[None]
+    new["text_model"]["final_layer_norm"]["scale"] = _g(
+        state, "text_model.final_layer_norm.weight")
+    new["text_model"]["final_layer_norm"]["bias"] = _g(
+        state, "text_model.final_layer_norm.bias")
+    new["text_model"]["head"]["kernel"] = _g(state, "text_model.head.weight").T
+    new["text_model"]["head"]["bias"] = _g(state, "text_model.head.bias")
+
+    pe = _g(state, "vision_model.embeddings.patch_embedding.weight")
+    new["vision_model"]["patch_embedding"]["kernel"] = pe.transpose(2, 3, 1, 0)
+    new["vision_model"]["patch_embedding"]["bias"] = _g(
+        state, "vision_model.embeddings.patch_embedding.bias")
+    new["vision_model"]["position_embedding"] = _g(
+        state, "vision_model.embeddings.position_embedding.weight")[None]
+    new["vision_model"]["post_layernorm"]["scale"] = _g(
+        state, "vision_model.post_layernorm.weight")
+    new["vision_model"]["post_layernorm"]["bias"] = _g(
+        state, "vision_model.post_layernorm.bias")
+    _port_map_head(state, new["vision_model"]["head"])
+    return new
+
+
+def jnp_to_np(tree):
+    import jax
+
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def _g(state, key):
+    return np.asarray(state[key])
+
+
+def _port_attn(state, dst, prefix):
+    for hf_name, fl_name in (("q_proj", "query"), ("k_proj", "key"),
+                             ("v_proj", "value"), ("out_proj", "out")):
+        w = _g(state, f"{prefix}.{hf_name}.weight")
+        b = _g(state, f"{prefix}.{hf_name}.bias")
+        head_dim = WIDTH // HEADS
+        if fl_name == "out":
+            dst[fl_name]["kernel"] = w.T.reshape(HEADS, head_dim, WIDTH)
+            dst[fl_name]["bias"] = b
+        else:
+            dst[fl_name]["kernel"] = w.T.reshape(WIDTH, HEADS, head_dim)
+            dst[fl_name]["bias"] = b.reshape(HEADS, head_dim)
+
+
+def _port_tower(state, dst, prefix, text: bool):
+    for i in range(LAYERS):
+        blk = dst[f"layers_{i}"]
+        p = f"{prefix}.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            blk[ln]["scale"] = _g(state, f"{p}.{ln}.weight")
+            blk[ln]["bias"] = _g(state, f"{p}.{ln}.bias")
+        _port_attn(state, blk["self_attn"], f"{p}.self_attn")
+        blk["mlp_fc1"]["kernel"] = _g(state, f"{p}.mlp.fc1.weight").T
+        blk["mlp_fc1"]["bias"] = _g(state, f"{p}.mlp.fc1.bias")
+        blk["mlp_fc2"]["kernel"] = _g(state, f"{p}.mlp.fc2.weight").T
+        blk["mlp_fc2"]["bias"] = _g(state, f"{p}.mlp.fc2.bias")
+
+
+def _port_map_head(state, dst):
+    p = "vision_model.head"
+    dst["probe"] = _g(state, f"{p}.probe")
+    head_dim = WIDTH // HEADS
+    # HF MAP head uses torch nn.MultiheadAttention (packed in_proj)
+    in_w = _g(state, f"{p}.attention.in_proj_weight")
+    in_b = _g(state, f"{p}.attention.in_proj_bias")
+    qw, kw, vw = np.split(in_w, 3, axis=0)
+    qb, kb, vb = np.split(in_b, 3, axis=0)
+    for name, w, b in (("query", qw, qb), ("key", kw, kb), ("value", vw, vb)):
+        dst["attention"][name]["kernel"] = w.T.reshape(WIDTH, HEADS, head_dim)
+        dst["attention"][name]["bias"] = b.reshape(HEADS, head_dim)
+    ow = _g(state, f"{p}.attention.out_proj.weight")
+    dst["attention"]["out"]["kernel"] = ow.T.reshape(HEADS, head_dim, WIDTH)
+    dst["attention"]["out"]["bias"] = _g(state, f"{p}.attention.out_proj.bias")
+    dst["layernorm"]["scale"] = _g(state, f"{p}.layernorm.weight")
+    dst["layernorm"]["bias"] = _g(state, f"{p}.layernorm.bias")
+    dst["mlp_fc1"]["kernel"] = _g(state, f"{p}.mlp.fc1.weight").T
+    dst["mlp_fc1"]["bias"] = _g(state, f"{p}.mlp.fc1.bias")
+    dst["mlp_fc2"]["kernel"] = _g(state, f"{p}.mlp.fc2.weight").T
+    dst["mlp_fc2"]["bias"] = _g(state, f"{p}.mlp.fc2.bias")

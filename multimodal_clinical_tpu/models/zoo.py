@@ -1,0 +1,231 @@
+"""Per-benchmark fusion networks.
+
+Every network follows one contract: ``__call__(*modality_inputs, train)``
+returns a dict with
+  * ``"logits"``   — list of per-modality unimodal logit tensors (B, C)
+  * ``"embeddings"`` — optional list of per-modality embeddings (VICReg)
+
+Fusion (logit-mean / prob-mean / QMF dynamic fusion) and losses live in the
+engine's step factories (engine/contracts.py), NOT in the network — the five
+reference base classes share fusion math that the reference re-implements in
+every ``<ds>/joint_model*.py`` FusionNet; here it exists once.
+
+Submodule names follow the reference's attribute contract (``x1_model``,
+``x2_model``, …) so the OGM-GE gradient transform can address the encoder
+subtrees (existing_algos/OGM_GE.py:56-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import TorchDense, global_avg_pool
+from .lenet import LeNet
+from .mlp import HeadMLP, MimicMLP
+from .pretrained import ResNet18Slim, VGG11Slim
+from .resnet import ResNetEncoder
+from .rnn import GRUNet, LstmClassifier
+
+
+class AVMnistFusionNet(nn.Module):
+    """LeNet pair for AV-MNIST (avmnist/joint_model.py:101-130).
+
+    x1: (B, 28, 28, 1) image; x2: (B, 112, 112, 1) spectrogram.  The
+    reference applies ReLU to the encoder output before the classifier.
+    """
+
+    num_classes: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        h1 = nn.relu(LeNet(6, 3, dtype=self.dtype, name="x1_model")(x1, train))
+        h2 = nn.relu(LeNet(6, 5, dtype=self.dtype, name="x2_model")(x2, train))
+        l1 = TorchDense(self.num_classes, dtype=self.dtype, name="classifier_x1")(h1)
+        l2 = TorchDense(self.num_classes, dtype=self.dtype, name="classifier_x2")(h2)
+        return {"logits": [l1, l2]}
+
+
+class MimicFusionNet(nn.Module):
+    """MLP (static 5-dim) + GRU (24x12 time series) for MIMIC
+    (mimic/joint_model.py:72-125)."""
+
+    num_classes: int
+    gru_hidden_dim: int = 32
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        l1 = MimicMLP(self.num_classes, dtype=self.dtype, name="x1_model")(x1, train)
+        l2 = GRUNet(self.gru_hidden_dim, self.num_classes, dtype=self.dtype,
+                    name="x2_model")(x2, train)
+        return {"logits": [l1, l2]}
+
+
+class CremadFusionNet(nn.Module):
+    """Scratch ResNet18 audio + visual for Crema-D / AVE / VGGSound
+    (cremad/joint_model.py:14-60).
+
+    x1: (B, F, T, 1) log-spectrogram; x2: (B, T, H, W, 3) frames.  Time is
+    folded into the batch for the visual stem (backbone.py:178-181) and
+    pooled jointly with space afterwards (joint_model.py:43-50).
+    """
+
+    num_classes: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        a = ResNetEncoder(dtype=self.dtype, name="x1_model")(x1, train)
+        b, t = x2.shape[0], x2.shape[1]
+        v_in = x2.reshape((b * t,) + x2.shape[2:])
+        v = ResNetEncoder(dtype=self.dtype, name="x2_model")(v_in, train)
+        a = global_avg_pool(a)                        # (B, 512)
+        v = v.reshape(b, t, *v.shape[1:])
+        v = jnp.mean(v, axis=(1, 2, 3))               # pool over (T, h, w)
+        l1 = TorchDense(self.num_classes, dtype=self.dtype, name="x1_classifier")(a)
+        l2 = TorchDense(self.num_classes, dtype=self.dtype, name="x2_classifier")(v)
+        return {"logits": [l1, l2]}
+
+
+class EnricoFusionNet(nn.Module):
+    """ResNet18Slim pair for Enrico (enrico/joint_model.py:54-77).
+
+    ``freeze_features=True`` for the joint model, False for the ensemble
+    (enrico/ensemble_model.py).  Emits embeddings for the VICReg variant
+    (enrico/ensemble_model_vicreg.py:103-111).
+    """
+
+    num_classes: int
+    freeze_features: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        e1, l1 = ResNet18Slim(self.num_classes, self.freeze_features,
+                              dtype=self.dtype, name="x1_model")(x1, train)
+        e2, l2 = ResNet18Slim(self.num_classes, self.freeze_features,
+                              dtype=self.dtype, name="x2_model")(x2, train)
+        return {"logits": [l1, l2], "embeddings": [e1, e2]}
+
+
+class EnricoVGGFusionNet(nn.Module):
+    """VGG11Slim pair (enrico/joint_model_counts.py:58-) — analysis variant."""
+
+    num_classes: int
+    freeze_features: bool = True
+    dropout_p: float = 0.2
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        l1 = VGG11Slim(self.num_classes, dropout_p=self.dropout_p,
+                       freeze_features=self.freeze_features,
+                       dtype=self.dtype, name="x1_model")(x1, train)
+        l2 = VGG11Slim(self.num_classes, dropout_p=self.dropout_p,
+                       freeze_features=self.freeze_features,
+                       dtype=self.dtype, name="x2_model")(x2, train)
+        return {"logits": [l1, l2]}
+
+
+class MustardFusionNet(nn.Module):
+    """Three LstmClassifiers (vision 371 / audio 81 / text 300 GloVe) for
+    MUsTARD (mustard/joint_model.py:45-83)."""
+
+    num_classes: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, train: bool = True):
+        l1 = LstmClassifier(self.num_classes, dtype=self.dtype, name="x1_model")(x1, train)
+        l2 = LstmClassifier(self.num_classes, dtype=self.dtype, name="x2_model")(x2, train)
+        l3 = LstmClassifier(self.num_classes, dtype=self.dtype, name="x3_model")(x3, train)
+        return {"logits": [l1, l2, l3]}
+
+
+class Food101FusionNet(nn.Module):
+    """SigLIP dual tower + MLP heads for Food101 (food101/joint_model.py:26-66).
+
+    x1: (B, L) int32 token ids; x2: (B, H, W, 3) pixel values.  The SigLIP
+    backbone (models/siglip.py) is fully trainable like the reference's
+    AutoModel; the heads are named x1_model/x2_model, matching the reference
+    (which makes OGM-GE a documented no-op on this benchmark since the heads
+    have no 4-D params — food101/joint_model_ogm_ge.py, SURVEY §2.3).
+    """
+
+    num_classes: int
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        from .siglip import SigLIPModel  # local import: heavy module
+
+        text_emb, image_emb = SigLIPModel(dtype=self.dtype, name="model")(
+            x1, x2, train
+        )
+        l1 = HeadMLP(self.num_classes, dtype=self.dtype, name="x1_model")(
+            text_emb, train
+        )
+        l2 = HeadMLP(self.num_classes, dtype=self.dtype, name="x2_model")(
+            image_emb, train
+        )
+        return {"logits": [l1, l2]}
+
+
+class FakeNewsFusionNet(nn.Module):
+    """Text + image late fusion for Fakeddit.
+
+    The reference left this benchmark broken (fakenews/run_training.py:42-44
+    imports a joint_model that does not exist; fakenews/model.py holds an
+    older concat-fusion design).  This completes it in the framework's
+    late-fusion style: a small text transformer over BERT-tokenized ids and
+    a scratch ResNet18 image encoder.
+    """
+
+    num_classes: int
+    vocab_size: int = 30522
+    embed_dim: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        # --- text tower ---
+        emb = nn.Embed(self.vocab_size, self.embed_dim,
+                       param_dtype=jnp.float32, dtype=self.dtype,
+                       name="x1_model_embed")(x1)
+        pos = self.param(
+            "x1_pos", nn.initializers.normal(0.02),
+            (1, x1.shape[1], self.embed_dim), jnp.float32,
+        )
+        h = emb + pos.astype(emb.dtype)
+        mask = (x1 != 0)[:, None, None, :]
+        for i in range(self.num_layers):
+            normed = nn.LayerNorm(param_dtype=jnp.float32,
+                                  name=f"x1_ln1_{i}")(h)
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"x1_attn_{i}",
+            )(normed, mask=mask)
+            h = h + attn
+            mlp_in = nn.LayerNorm(param_dtype=jnp.float32, name=f"x1_ln2_{i}")(h)
+            mlp = nn.Dense(4 * self.embed_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"x1_mlp1_{i}")(mlp_in)
+            mlp = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name=f"x1_mlp2_{i}")(nn.gelu(mlp))
+            h = h + mlp
+        denom = jnp.maximum(jnp.sum(mask[:, 0, 0, :], axis=-1, keepdims=True), 1)
+        text_emb = jnp.sum(h * mask[:, 0, 0, :, None], axis=1) / denom
+        l1 = TorchDense(self.num_classes, dtype=self.dtype, name="x1_classifier")(
+            text_emb
+        )
+        # --- image tower ---
+        feats = ResNetEncoder(dtype=self.dtype, name="x2_model")(x2, train)
+        l2 = TorchDense(self.num_classes, dtype=self.dtype, name="x2_classifier")(
+            global_avg_pool(feats)
+        )
+        return {"logits": [l1, l2]}

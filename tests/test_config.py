@@ -1,0 +1,57 @@
+"""Config-system tests: deep-merge semantics + --dir resolution."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from multimodal_clinical_tpu.config import (  # noqa: E402
+    KNOWN_DATASETS,
+    deep_merge,
+    load_config,
+    setup_configs,
+)
+
+
+def test_deep_merge_override_wins():
+    base = {"a": 1, "b": {"c": 2, "d": 3}, "e": [1, 2]}
+    over = {"b": {"c": 9}, "e": [7], "f": "new"}
+    deep_merge(base, over)
+    assert base == {"a": 1, "b": {"c": 9, "d": 3}, "e": [7], "f": "new"}
+
+
+def test_deep_merge_replaces_non_dicts():
+    base = {"x": {"y": 1}}
+    deep_merge(base, {"x": 5})
+    assert base == {"x": 5}
+
+
+def test_deep_merge_nested_three_levels():
+    base = {"a": {"b": {"c": 1, "d": 2}}}
+    deep_merge(base, {"a": {"b": {"c": 10}}})
+    assert base == {"a": {"b": {"c": 10, "d": 2}}}
+
+
+@pytest.mark.parametrize("name", KNOWN_DATASETS)
+def test_all_dataset_configs_load(name):
+    args = load_config(name)
+    # base schema keys present on every benchmark
+    for key in ("num_classes", "batch_size", "learning_rate", "num_epochs",
+                "data_path", "model_type", "group_name", "seed"):
+        assert hasattr(args, key), f"{name} missing {key}"
+    assert args.dir == name
+
+
+def test_setup_configs_cli_overrides():
+    args = setup_configs(["--dir", "avmnist", "--seed", "123",
+                          "--set", "batch_size=8", "--set", "model_type=ensemble"])
+    assert args.seed == 123
+    assert args.batch_size == 8
+    assert args.model_type == "ensemble"
+
+
+def test_setup_configs_requires_dir():
+    with pytest.raises(NotImplementedError):
+        setup_configs([])
