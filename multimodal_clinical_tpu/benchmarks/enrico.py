@@ -125,6 +125,37 @@ def get_data(args) -> DataBundle:
                       synthetic=synthetic)
 
 
+def load_pretrained(args, state):
+    """Inject ImageNet resnet18 weights from a LOCAL torch checkpoint into
+    both ResNet18Slim towers (config key ``torchvision_weights``).
+
+    The reference downloads these at construction
+    (enrico/joint_model.py:28 ``tmodels.resnet18(pretrained=True)``); in a
+    zero-egress environment the checkpoint must be provided on disk (a
+    torch ``state_dict`` saved with torch.save).  No-op when unset.
+    """
+    ckpt = getattr(args, "torchvision_weights", None)
+    if not ckpt:
+        return state
+    import torch
+
+    from ..models.torch_port import port_resnet_encoder
+
+    sd = torch.load(ckpt, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    feats_p, feats_s = port_resnet_encoder(sd)
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for tower in ("x1_model", "x2_model"):
+        params[tower] = dict(params[tower])
+        params[tower]["features"] = feats_p
+        stats[tower] = dict(stats[tower])
+        stats[tower]["features"] = feats_s
+    print(f"[enrico] loaded torchvision resnet18 weights from {ckpt}")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
     num_classes = int(args.num_classes)

@@ -94,6 +94,21 @@ def get_data(args) -> DataBundle:
                       synthetic=synthetic)
 
 
+def load_pretrained(args, state):
+    """Inject SigLIP weights from a LOCAL HF snapshot (config key
+    ``siglip_weights`` pointing at a dir with model.safetensors or
+    pytorch_model.bin).  No-op when unset."""
+    ckpt = getattr(args, "siglip_weights", None)
+    if not ckpt:
+        return state
+    from ..models.siglip import load_hf_siglip_params
+
+    params = dict(state.params)
+    params["model"] = load_hf_siglip_params(ckpt, params["model"])
+    print(f"[food101] loaded SigLIP weights from {ckpt}")
+    return state.replace(params=params)
+
+
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "qmf")
     module = Food101FusionNet(num_classes=int(args.num_classes))

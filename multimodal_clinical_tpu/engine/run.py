@@ -81,6 +81,12 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
     spec, opt_kwargs = benchmark_module.get_model_spec(args, n_train=len(data.train))
     train_loader, val_loader, test_loader = build_loaders(args, data, mesh)
     state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    # optional pretrained-weight injection (local checkpoints only —
+    # replaces the reference's at-construction downloads,
+    # enrico/joint_model.py:28, food101/joint_model.py:36)
+    load_pretrained = getattr(benchmark_module, "load_pretrained", None)
+    if load_pretrained is not None:
+        state = load_pretrained(args, state)
     trainer = Trainer(args, spec, state, train_loader, val_loader, test_loader,
                       profile_dir=profile_dir)
     trainer.fit()
