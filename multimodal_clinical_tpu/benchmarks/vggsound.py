@@ -144,13 +144,20 @@ def device_preprocess(batch, rng, train: bool):
     """Raw waveform -> (B, 129, 626, 1) log-spectrogram (+ SpecAugment at
     train), fused into the jitted step (vggsound/get_data.py:106-128
     equivalents, on device)."""
+    import jax
+
+    from ..ops.pallas_spectrogram import pallas_log_spectrogram
     from ..ops.spectrogram import log_spectrogram
     from ..ops.specaugment import spec_augment
 
     if "x1_waveform" not in batch:
         return batch
     batch = dict(batch)
-    spec2d = log_spectrogram(batch.pop("x1_waveform"), n_fft=256, hop=128)
+    wave = batch.pop("x1_waveform")
+    if jax.default_backend() == "tpu":
+        spec2d = pallas_log_spectrogram(wave, n_fft=256, hop=128)
+    else:
+        spec2d = log_spectrogram(wave, n_fft=256, hop=128)
     if train:
         spec2d = spec_augment(rng, spec2d, freq_mask_param=30,
                               time_mask_param=120, num_freq_masks=2,

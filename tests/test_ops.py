@@ -74,3 +74,28 @@ def test_spec_augment_preserves_channel_dim():
     x = jnp.ones((2, 64, 100, 1))
     out = spec_augment(rng, x)
     assert out.shape == (2, 64, 100, 1)
+
+
+def test_pallas_log_spectrogram_interpret_matches_xla():
+    from multimodal_clinical_tpu.ops.pallas_spectrogram import (
+        pallas_log_spectrogram,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 16000)).astype(np.float32)
+    want = np.asarray(log_spectrogram(jnp.asarray(x), n_fft=256, hop=128))
+    got = np.asarray(pallas_log_spectrogram(jnp.asarray(x), interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_pallas_log_spectrogram_general_hop_falls_back():
+    from multimodal_clinical_tpu.ops.pallas_spectrogram import (
+        pallas_log_spectrogram,
+    )
+
+    x = jnp.zeros((1, 4000), jnp.float32)
+    want = log_spectrogram(x, n_fft=256, hop=100)
+    got = pallas_log_spectrogram(x, n_fft=256, hop=100)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
