@@ -36,12 +36,19 @@ CROP_SEC = 5
 
 
 def _read_wav(path: str) -> np.ndarray:
-    """Read a 16-bit PCM wav to float32 in [-1, 1] (host IO only)."""
+    """Read a 16-bit PCM wav to float32 in [-1, 1] (host IO only; the
+    int16->float mixdown uses the native C++ path when built)."""
     with wave.open(path, "rb") as w:
         n = w.getnframes()
+        channels = w.getnchannels()
         data = np.frombuffer(w.readframes(n), dtype=np.int16)
-        if w.getnchannels() > 1:
-            data = data.reshape(-1, w.getnchannels()).mean(axis=1)
+    from ..utils.native import pcm16_to_float_mono
+
+    out = pcm16_to_float_mono(data, channels)
+    if out is not None:
+        return out
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
     return (data / 32768.0).astype(np.float32)
 
 

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native host data-path library (native/fast_data.cpp).
+
+Loads ``native/libfastdata.so``; if absent, attempts a one-shot ``make``
+(g++ is baked into the image), and otherwise every entry point reports
+unavailable so callers fall back to numpy.  The samplers use it when
+present (data/sampler.py), keeping the host index-sampling cost out of the
+per-epoch critical path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libfastdata.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(
+            os.path.join(_NATIVE_DIR, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.build_alias_table.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.alias_sample.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pcm16_to_float_mono.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class AliasTable:
+    """Vose alias table over unnormalized weights; O(1) per draw."""
+
+    def __init__(self, weights: np.ndarray):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        w = np.ascontiguousarray(weights, np.float64)
+        n = len(w)
+        self.n = n
+        self.prob = np.empty(n, np.float64)
+        self.alias = np.empty(n, np.int64)
+        lib.build_alias_table(
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            self.prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+
+    def sample(self, num_samples: int, seed: int) -> np.ndarray:
+        lib = _load()
+        out = np.empty(num_samples, np.int64)
+        lib.alias_sample(
+            self.prob.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self.n, num_samples, ctypes.c_uint64(seed & (2 ** 64 - 1)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
+
+
+def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:
+    """Interleaved int16 -> float32 mono in [-1, 1]; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    frames = len(pcm) // channels
+    out = np.empty(frames, np.float32)
+    lib.pcm16_to_float_mono(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        frames, channels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

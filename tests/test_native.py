@@ -1,0 +1,59 @@
+"""Native C++ data-path library: correctness vs numpy and distribution checks."""
+
+import numpy as np
+import pytest
+
+from multimodal_clinical_tpu.utils import native
+from multimodal_clinical_tpu.data.sampler import WeightedSampler
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native library not built")
+
+
+@needs_native
+def test_alias_table_matches_target_distribution():
+    rng = np.random.default_rng(0)
+    weights = rng.uniform(0.1, 5.0, size=1000)
+    table = native.AliasTable(weights)
+    draws = table.sample(200_000, seed=42)
+    assert draws.min() >= 0 and draws.max() < 1000
+    counts = np.bincount(draws, minlength=1000)
+    target = weights / weights.sum()
+    empirical = counts / counts.sum()
+    # chi-square-ish closeness
+    assert np.abs(empirical - target).max() < 5e-3
+    # determinism per seed
+    np.testing.assert_array_equal(draws[:100], table.sample(100, seed=42))
+    assert not np.array_equal(draws[:100], table.sample(100, seed=43))
+
+
+@needs_native
+def test_alias_table_degenerate_single_class():
+    table = native.AliasTable(np.array([0.0, 1.0, 0.0]))
+    draws = table.sample(1000, seed=1)
+    assert (draws == 1).all()
+
+
+@needs_native
+def test_pcm16_to_float_matches_numpy():
+    rng = np.random.default_rng(1)
+    pcm = rng.integers(-32768, 32767, size=4000).astype(np.int16)
+    # mono
+    got = native.pcm16_to_float_mono(pcm, 1)
+    np.testing.assert_allclose(got, pcm / 32768.0, atol=1e-7)
+    # stereo mixdown
+    got2 = native.pcm16_to_float_mono(pcm, 2)
+    want2 = (pcm.reshape(-1, 2).mean(axis=1) / 32768.0).astype(np.float32)
+    np.testing.assert_allclose(got2, want2, atol=1e-6)
+
+
+def test_weighted_sampler_balances_classes_any_backend():
+    labels = np.array([0] * 900 + [1] * 100)
+    sampler = WeightedSampler(labels, seed=3)
+    idx = sampler.indices(epoch=0)
+    drawn = labels[idx]
+    frac1 = (drawn == 1).mean()
+    assert 0.4 < frac1 < 0.6  # inverse-frequency balancing
+    # per-epoch determinism, cross-epoch variation
+    np.testing.assert_array_equal(idx, sampler.indices(0))
+    assert not np.array_equal(idx, sampler.indices(1))
