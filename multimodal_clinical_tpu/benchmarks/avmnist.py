@@ -86,6 +86,7 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         module=module,
         contract=contract,
         eval_fusion="logits" if model_type == "jprobas_jlogits" else None,
+        report_logprobs=(model_type == "ensemble_probas"),
     )
     # legacy plain SGD (avmnist/joint_model.py:340-342)
     opt_kwargs = {"momentum": 0.0, "weight_decay": 0.0}

@@ -165,11 +165,13 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                   if model_type == "jlogits_counts"
                   else EnricoFusionNet(num_classes, freeze_features=True))
         spec = ModelSpec(module=module, contract="jlogits",
-                         sched_step_size=10, sched_gamma=0.5)
+                         sched_step_size=10, sched_gamma=0.5,
+                         track_min_loss_counts=(model_type == "jlogits_counts"))
     elif model_type in ("ensemble", "ensemble_counts"):
         module = EnricoFusionNet(num_classes, freeze_features=False)
         spec = ModelSpec(module=module, contract="ensemble",
-                         sched_step_size=70, sched_gamma=0.5)
+                         sched_step_size=70, sched_gamma=0.5,
+                         track_min_loss_counts=(model_type == "ensemble_counts"))
     elif model_type == "ensemble_vicreg":
         module = EnricoFusionNet(num_classes, freeze_features=False)
         spec = ModelSpec(module=module, contract="ensemble",

@@ -99,6 +99,8 @@ def setup_configs(argv=None) -> SimpleNamespace:
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", type=str, default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the run's rolling 'last' checkpoint")
     parser.add_argument(
         "--set",
         action="append",
@@ -121,5 +123,6 @@ def setup_configs(argv=None) -> SimpleNamespace:
             overrides[key] = raw
     if args_cli.seed is not None:
         overrides["seed"] = args_cli.seed
+    overrides["resume"] = bool(args_cli.resume)
 
     return load_config(args_cli.dir, overrides=overrides)

@@ -86,6 +86,20 @@ class BestCheckpointer:
         with open(path + ".msgpack", "rb") as f:
             return serialization.from_bytes(template, f.read())
 
+    def _write_meta(self) -> None:
+        import json
+
+        with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
+            json.dump({"best_metric": self.best_metric}, f)
+
+    def _read_meta(self) -> None:
+        import json
+
+        path = os.path.join(self.ckpt_dir, "meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                self.best_metric = float(json.load(f)["best_metric"])
+
     def maybe_save(self, state: TrainState, metric: float) -> bool:
         """Save iff ``metric`` improves on the best so far; returns True if saved."""
         if metric <= self.best_metric:
@@ -94,12 +108,25 @@ class BestCheckpointer:
         path = os.path.join(self.ckpt_dir, "best")
         self._save(path, state_to_tree(state))
         self.best_path = path
+        self._write_meta()
         return True
 
     def save_last(self, state: TrainState) -> str:
         path = os.path.join(self.ckpt_dir, "last")
         self._save(path, state_to_tree(state))
         return path
+
+    def restore_last(self, state: TrainState) -> Optional[TrainState]:
+        """Restore the full state from the rolling 'last' checkpoint for
+        exact training resume (params, BN stats, optimizer buffers, EMA,
+        QMF history, step counter). None if no checkpoint exists."""
+        path = os.path.join(self.ckpt_dir, "last")
+        if not (os.path.isdir(path) or os.path.exists(path + ".msgpack")):
+            return None
+        template = jax.tree_util.tree_map(np.asarray, state_to_tree(state))
+        tree = self._restore(path, template)
+        self._read_meta()
+        return tree_into_state(state, tree)
 
     def restore_best(self, state: TrainState) -> TrainState:
         if self.best_path is None:

@@ -44,7 +44,7 @@ class EpochAccumulator:
     def summary(self) -> Dict[str, float]:
         out = {}
         for key, values in self._buffers.items():
-            if key == "valid_count":
+            if key == "valid_count" or key.startswith("count_"):
                 out[key] = float(np.sum(np.asarray(jnp.stack(values))))
             else:
                 out[key] = float(np.mean(np.asarray(jnp.stack(values))))
@@ -60,6 +60,11 @@ def train_epoch_summary(acc: EpochAccumulator) -> Dict[str, float]:
     out = {}
     for key, value in raw.items():
         if key == "valid_count":
+            continue
+        if key.startswith("count_"):
+            # min-loss counters: train_epoch/joint_count etc.
+            # (enrico/joint_model_counts.py:128-131)
+            out[f"train_epoch/{key[len('count_'):]}_count"] = value
             continue
         name = key[len("train_"):]
         out[f"train_epoch/train_avg_{name}"] = value
@@ -88,6 +93,12 @@ def eval_epoch_summary(
         summary[f"{prefix}_epoch/{prefix}_avg_df_acc"] = float(
             np.mean([np.asarray(o["df_acc"]) for o in outputs])
         )
+
+    for key in outputs[0]:
+        if key.startswith("count_"):
+            summary[f"{prefix}_epoch/{key[len('count_'):]}_count"] = float(
+                np.sum([np.asarray(o[key]) for o in outputs])
+            )
 
     if "x1_acc" in outputs[0]:
         # ensemble contract: per-modality step means, no offset correction

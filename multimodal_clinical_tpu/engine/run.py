@@ -89,5 +89,7 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
         state = load_pretrained(args, state)
     trainer = Trainer(args, spec, state, train_loader, val_loader, test_loader,
                       profile_dir=profile_dir)
+    if getattr(args, "resume", False):
+        trainer.resume()
     trainer.fit()
     return trainer.test()

@@ -55,6 +55,14 @@ class ModelSpec:
     # --- VICReg (enrico/ensemble_model_vicreg.py:151) ---
     vicreg_weight: float = 0.0
 
+    # --- analysis streams ---
+    # per-sample min-loss counters over {joint, x1, x2}
+    # (enrico/joint_model_counts.py:116-135, ensemble_model_counts.py)
+    track_min_loss_counts: bool = False
+    # ensemble trained on CE but metrics reported on log-probs
+    # (avmnist/ensemble_model_probas.py:124-132)
+    report_logprobs: bool = False
+
     # --- optimizer schedule (StepLR step_size/gamma per model file) ---
     sched_step_size: int = 70
     sched_gamma: float = 0.1

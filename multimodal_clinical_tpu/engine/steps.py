@@ -41,6 +41,27 @@ def _model_inputs(batch: Batch, num_modality: int):
     return [batch[f"x{i + 1}"] for i in range(num_modality)]
 
 
+def _per_sample_ce(logits, label):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, label[:, None].astype(jnp.int32),
+                                axis=-1)[:, 0]
+
+
+def _min_loss_counts(logits, fused, label, valid):
+    """Per-sample min-loss counters over {joint, x1, x2}
+    (enrico/joint_model_counts.py:116-126)."""
+    losses = [_per_sample_ce(fused, label)] + [
+        _per_sample_ce(l, label) for l in logits
+    ]
+    stack = jnp.stack(losses)                     # (1+M, B)
+    min_loss = jnp.min(stack, axis=0)
+    v = valid.astype(jnp.float32)
+    counts = {"count_joint": jnp.sum((stack[0] == min_loss) * v)}
+    for i in range(len(logits)):
+        counts[f"count_x{i + 1}"] = jnp.sum((stack[i + 1] == min_loss) * v)
+    return counts
+
+
 def _forward(state: TrainState, params, batch: Batch, spec: ModelSpec,
              train: bool, dropout_rng: Optional[jax.Array]):
     variables = {"params": params}
@@ -146,7 +167,14 @@ def _train_metrics(spec: ModelSpec, state: TrainState, aux, loss, label, valid
         "train_acc": C.accuracy(fused, label, valid),
         "valid_count": jnp.sum(valid.astype(jnp.float32)),
     }
+    if spec.track_min_loss_counts:
+        metrics.update(_min_loss_counts(aux["report"], fused, label, valid))
+
     if spec.contract == "ensemble":
+        if spec.report_logprobs:
+            report = C.to_logprobs(report)
+            metrics["train_acc"] = C.accuracy(C.fuse_probas(aux["report"]),
+                                              label, valid)
         for i, r in enumerate(report):
             metrics[f"train_x{i + 1}_acc"] = C.accuracy(r, label, valid)
         if "vicreg" in aux:
@@ -258,8 +286,11 @@ def make_eval_step(spec: ModelSpec) -> Callable[[TrainState, Batch], Dict]:
             "loss": loss,
             "acc": C.accuracy(fused, label, valid),
         }
+        if spec.track_min_loss_counts:
+            outputs.update(_min_loss_counts(logits, fused, label, valid))
         if spec.contract == "ensemble":
-            for i, r in enumerate(report):
+            rep = C.to_logprobs(report) if spec.report_logprobs else report
+            for i, r in enumerate(rep):
                 outputs[f"x{i + 1}_acc"] = C.accuracy(r, label, valid)
         if spec.contract == "qmf":
             stack = jnp.stack([l.astype(jnp.float32) for l in logits])

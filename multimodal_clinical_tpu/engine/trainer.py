@@ -82,11 +82,25 @@ class Trainer:
             return {}
         return eval_epoch_summary(outputs, prefix)
 
+    def resume(self) -> bool:
+        """Restore the full train state from the rolling 'last' checkpoint
+        (exact resume — optimizer buffers, EMA, QMF history, step counter).
+        Returns True if a checkpoint was found."""
+        restored = self.ckpt.restore_last(self.state)
+        if restored is None:
+            return False
+        self.state = restored
+        print(f"[trainer] resumed from step {int(self.state.step)} "
+              f"(best={self.ckpt.best_metric:.4f})")
+        return True
+
     def fit(self) -> Dict[str, float]:
         num_epochs = int(getattr(self.args, "num_epochs", 1))
-        global_step = 0
+        steps_per_epoch = max(len(self.train_loader), 1)
+        start_epoch = int(self.state.step) // steps_per_epoch
+        global_step = int(self.state.step)
         last_val: Dict[str, float] = {}
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             self.train_loader.set_epoch(epoch)
             acc = EpochAccumulator()
             tic = time.perf_counter()
@@ -125,6 +139,7 @@ class Trainer:
             val_acc = val_summary.get("val_epoch/val_avg_acc")
             if val_acc is not None:
                 self.ckpt.maybe_save(self.state, val_acc)
+            self.ckpt.save_last(self.state)
         return last_val
 
     def test(self, restore_best: bool = True) -> Dict[str, float]:

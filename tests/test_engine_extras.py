@@ -1,0 +1,93 @@
+"""Analysis streams (min-loss counts, ensemble_probas) and exact resume."""
+
+from types import SimpleNamespace
+
+import numpy as np
+
+from multimodal_clinical_tpu.benchmarks import avmnist, enrico
+from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+from multimodal_clinical_tpu.engine.run import (
+    DataBundle,
+    build_loaders,
+    init_state_on_mesh,
+)
+from multimodal_clinical_tpu.engine.trainer import Trainer
+from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+
+def make_args(**overrides):
+    base = dict(
+        num_classes=4, batch_size=16, learning_rate=0.05, num_epochs=2,
+        dropout_p=0.1, data_path="/nonexistent", num_cpus=1, use_wandb=False,
+        model_type="jlogits", group_name="t", seed=0, use_scheduler=False,
+        grad_mod_type=None, alpha=0.1, mesh_shape=None, ckpt_dir=None,
+        log_every_n_steps=0, noise_p=0.0, label_noise_p=0.0,
+    )
+    base.update(overrides)
+    return SimpleNamespace(**base)
+
+
+def small_enrico_bundle():
+    small = [make_synthetic_dataset("enrico", 32, 4, seed=i, dirs_seed=0,
+                                    shapes=[(32, 16, 3), (32, 16, 3)])
+             for i in range(3)]
+    return DataBundle(*small, train_sampler="weighted", synthetic=True)
+
+
+def build_trainer(benchmark, args, data=None):
+    mesh = make_mesh()
+    data = data or benchmark.get_data(args)
+    spec, opt_kwargs = benchmark.get_model_spec(args, n_train=len(data.train))
+    loaders = build_loaders(args, data, mesh)
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    return Trainer(args, spec, state, *loaders), data
+
+
+def test_min_loss_counts_streams(tmp_path):
+    args = make_args(model_type="ensemble_counts", num_epochs=1,
+                     batch_size=8, ckpt_dir=str(tmp_path))
+    trainer, data = build_trainer(enrico, args, small_enrico_bundle())
+    trainer.fit()
+    epoch = trainer.history[-1]
+    total = sum(epoch[f"train_epoch/{k}_count"]
+                for k in ("joint", "x1", "x2"))
+    # every sample contributes >= 1 count (ties can contribute more)
+    assert total >= len(data.train)
+    summary = trainer.test()
+    assert "test_epoch/joint_count" in summary
+    assert "test_epoch/x1_count" in summary
+
+
+def test_ensemble_probas_reports(tmp_path):
+    args = make_args(model_type="ensemble_probas", num_classes=4,
+                     num_epochs=1, ckpt_dir=str(tmp_path))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    summary = trainer.test()
+    assert "test_epoch/test_avg_x1_acc" in summary
+
+
+def test_exact_resume_continues_from_step(tmp_path):
+    args = make_args(num_epochs=2, ckpt_dir=str(tmp_path))
+    trainer, data = build_trainer(avmnist, args)
+    trainer.fit()
+    step_after_2 = int(trainer.state.step)
+    assert step_after_2 > 0
+
+    # new trainer, same ckpt dir: resume should land at the same step and
+    # fit() should be a no-op (start_epoch == num_epochs)
+    args2 = make_args(num_epochs=2, ckpt_dir=str(tmp_path))
+    trainer2, _ = build_trainer(avmnist, args2)
+    assert trainer2.resume()
+    assert int(trainer2.state.step) == step_after_2
+    trainer2.fit()
+    assert int(trainer2.state.step) == step_after_2
+
+    # extending num_epochs continues training from the restored state
+    args3 = make_args(num_epochs=3, ckpt_dir=str(tmp_path))
+    trainer3, _ = build_trainer(avmnist, args3)
+    assert trainer3.resume()
+    trainer3.fit()
+    assert int(trainer3.state.step) > step_after_2
+    # EMA state survived the round trip (non-zero after training)
+    assert float(np.abs(np.asarray(trainer3.state.ema)).sum()) > 0
