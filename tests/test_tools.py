@@ -1,0 +1,68 @@
+"""Offline preprocessing CLI: cremad-audio, check-frames, fix-missing."""
+
+import csv
+import os
+import pickle
+import sys
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import preprocess  # noqa: E402
+
+
+def _write_wav(path, samples, sr=16000):
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def test_cremad_audio_spectrograms(tmp_path):
+    wav_dir = tmp_path / "wav"
+    out_dir = tmp_path / "spec"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        _write_wav(str(wav_dir / f"clip{i}.wav"),
+                   rng.normal(scale=0.1, size=16000 * 2).astype(np.float32))
+    preprocess.main(["cremad-audio", "--wav-dir", str(wav_dir),
+                     "--out", str(out_dir), "--batch-size", "2"])
+    files = sorted(os.listdir(out_dir))
+    assert files == ["clip0.pkl", "clip1.pkl", "clip2.pkl"]
+    with open(out_dir / "clip0.pkl", "rb") as f:
+        spec = pickle.load(f)
+    assert spec.shape[0] == 257  # nperseg 512 -> 257 bins
+    # standardized per clip (video_preprocessing.py:126-128)
+    assert abs(float(spec.mean())) < 1e-3
+    assert abs(float(spec.std()) - 1.0) < 1e-2
+
+
+def test_check_frames_and_fix_missing(tmp_path, capsys):
+    root = tmp_path / "frames"
+    for clip, n in (("a", 6), ("b", 2)):
+        d = root / clip
+        d.mkdir(parents=True)
+        for i in range(n):
+            (d / f"f{i}.jpg").touch()
+    preprocess.main(["check-frames", "--frames-root", str(root),
+                     "--min-frames", "6"])
+    out = capsys.readouterr().out
+    assert "b" in out and "1 clip dirs" in out
+
+    data_root = tmp_path / "wavs"
+    data_root.mkdir()
+    (data_root / "a.wav").touch()
+    csv_file = tmp_path / "list.csv"
+    with open(csv_file, "w", newline="") as f:
+        csv.writer(f).writerows([["a", "cls1"], ["missing", "cls2"]])
+    out_csv = tmp_path / "fixed.csv"
+    preprocess.main(["fix-missing", "--csv-file", str(csv_file),
+                     "--data-root", str(data_root), "--out", str(out_csv)])
+    rows = list(csv.reader(open(out_csv)))
+    assert rows == [["a", "cls1"]]

@@ -1,0 +1,261 @@
+"""Offline preprocessing CLI — the reference's L0 layer as one tool.
+
+Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
+
+  cremad-audio    wav -> pickled (257, 1004) log-spectrograms, but computed
+                  ON DEVICE in batches via ops/spectrogram.cremad_spectrogram
+                  (replaces cremad/video_preprocessing.py:111-130's
+                  librosa/scipy host loop)
+  video-frames    mp4 -> JPEG frames at a fixed FPS with a minimum count
+                  (cremad/ave/vggsound video_preprocessing.py; requires
+                  ffmpeg on PATH — gated)
+  mp4-to-wav      mp4 -> 16 kHz mono wav (ave/vggsound mp4_to_wav.py;
+                  ffmpeg-gated)
+  food101-tokens  image+text -> SigLIP input_ids / pixel_values .npy pairs
+                  (food101/extract_token.py:45-69; HF tokenizer gated,
+                  pixel path always available via PIL)
+  check-frames    report clip dirs with fewer than N frames
+                  (vggsound/check_frames.py:4-22)
+  fix-missing     reconcile a csv list against extracted files
+                  (vggsound/fix_missing.py:1-30)
+
+Usage: python tools/preprocess.py <subcommand> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import pickle
+import shutil
+import subprocess
+import sys
+import wave
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TARGET_SR = 16000
+
+
+def _require_ffmpeg():
+    if shutil.which("ffmpeg") is None:
+        raise SystemExit(
+            "ffmpeg not found on PATH — video decode subcommands need it "
+            "(audio/token preprocessing do not)"
+        )
+
+
+def _read_wav_mono(path: str) -> np.ndarray:
+    from multimodal_clinical_tpu.utils.native import pcm16_to_float_mono
+
+    with wave.open(path, "rb") as w:
+        channels = w.getnchannels()
+        sr = w.getframerate()
+        data = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    out = pcm16_to_float_mono(data, channels)
+    if out is None:
+        if channels > 1:
+            data = data.reshape(-1, channels).mean(axis=1)
+        out = (data / 32768.0).astype(np.float32)
+    if sr != TARGET_SR:
+        # linear resample (reference uses librosa's default resampler;
+        # distributional parity only)
+        n_out = int(len(out) * TARGET_SR / sr)
+        out = np.interp(np.linspace(0, len(out) - 1, n_out),
+                        np.arange(len(out)), out).astype(np.float32)
+    return out
+
+
+def cmd_cremad_audio(args):
+    """wav dir -> per-clip pickled log-spectrograms, computed on device in
+    batches (tile to >= 10x length, clip to [-1, 1], spectrogram,
+    standardize — cremad/video_preprocessing.py:111-130 semantics)."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.ops.spectrogram import cremad_spectrogram
+
+    os.makedirs(args.out, exist_ok=True)
+    wavs = sorted(f for f in os.listdir(args.wav_dir) if f.endswith(".wav"))
+    target_len = TARGET_SR * 10  # ~10 s tiled window like the reference
+    batch, names = [], []
+
+    def flush():
+        if not batch:
+            return
+        specs = np.asarray(cremad_spectrogram(jnp.asarray(np.stack(batch))))
+        for name, spec in zip(names, specs):
+            with open(os.path.join(args.out,
+                                   os.path.splitext(name)[0] + ".pkl"),
+                      "wb") as f:
+                pickle.dump(spec.astype(np.float32), f)
+        batch.clear()
+        names.clear()
+
+    for name in wavs:
+        wav = _read_wav_mono(os.path.join(args.wav_dir, name))
+        reps = int(np.ceil(target_len / max(len(wav), 1)))
+        wav = np.clip(np.tile(wav, reps)[:target_len], -1.0, 1.0)
+        batch.append(wav)
+        names.append(name)
+        if len(batch) == args.batch_size:
+            flush()
+    flush()
+    print(f"wrote {len(wavs)} spectrograms to {args.out}")
+
+
+def cmd_video_frames(args):
+    _require_ffmpeg()
+    os.makedirs(args.out, exist_ok=True)
+    videos = sorted(f for f in os.listdir(args.video_dir)
+                    if f.endswith((".mp4", ".flv", ".avi")))
+    for name in videos:
+        clip = os.path.splitext(name)[0]
+        out_dir = os.path.join(args.out, clip)
+        os.makedirs(out_dir, exist_ok=True)
+        subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-i",
+             os.path.join(args.video_dir, name),
+             "-vf", f"fps={args.fps}", "-q:v", "2",
+             os.path.join(out_dir, "frame_%05d.jpg")],
+            check=True,
+        )
+        # minimum-frame guarantee (video_preprocessing.py min 3 frames)
+        frames = sorted(os.listdir(out_dir))
+        while 0 < len(frames) < args.min_frames:
+            src = os.path.join(out_dir, frames[-1])
+            dst = os.path.join(out_dir, f"frame_{len(frames) + 1:05d}.jpg")
+            shutil.copy(src, dst)
+            frames.append(os.path.basename(dst))
+    print(f"extracted frames for {len(videos)} videos into {args.out}")
+
+
+def cmd_mp4_to_wav(args):
+    _require_ffmpeg()
+    os.makedirs(args.out, exist_ok=True)
+    videos = sorted(f for f in os.listdir(args.video_dir)
+                    if f.endswith(".mp4"))
+    for name in videos:
+        subprocess.run(
+            ["ffmpeg", "-loglevel", "error", "-i",
+             os.path.join(args.video_dir, name), "-ac", "1", "-ar",
+             str(TARGET_SR),
+             os.path.join(args.out, os.path.splitext(name)[0] + ".wav")],
+            check=True,
+        )
+    print(f"extracted audio for {len(videos)} videos into {args.out}")
+
+
+def cmd_food101_tokens(args):
+    """text+image -> SigLIP input_ids / pixel_values .npy pairs.
+
+    Pixel path (resize 224, rescale, normalize 0.5/0.5 — the SigLIP
+    processor's image transform) always works; token ids need the HF
+    tokenizer available locally (zero-egress gate)."""
+    from PIL import Image
+
+    os.makedirs(args.out, exist_ok=True)
+    tokenizer = None
+    try:
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.tokenizer, local_files_only=True)
+    except Exception as exc:
+        print(f"[food101-tokens] tokenizer unavailable ({exc}); "
+              "writing pixel tensors only")
+
+    count = 0
+    with open(args.list_file) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            img_path, text = parts[0], parts[1]
+            stem = os.path.splitext(os.path.basename(img_path))[0]
+            img = Image.open(os.path.join(args.image_root, img_path)
+                             ).convert("RGB").resize((224, 224))
+            px = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+            np.save(os.path.join(args.out, stem + "_pixel_values.npy"),
+                    px.transpose(2, 0, 1)[None])  # reference stores CHW
+            if tokenizer is not None:
+                ids = tokenizer(text, padding="max_length", truncation=True,
+                                max_length=64)["input_ids"]
+                np.save(os.path.join(args.out, stem + "_input_ids.npy"),
+                        np.asarray(ids, np.int32))
+            count += 1
+    print(f"wrote {count} samples to {args.out}")
+
+
+def cmd_check_frames(args):
+    bad = []
+    for clip in sorted(os.listdir(args.frames_root)):
+        d = os.path.join(args.frames_root, clip)
+        if os.path.isdir(d) and len(os.listdir(d)) < args.min_frames:
+            bad.append(clip)
+    for clip in bad:
+        print(clip)
+    print(f"{len(bad)} clip dirs with < {args.min_frames} frames")
+
+
+def cmd_fix_missing(args):
+    with open(args.csv_file) as f:
+        rows = list(csv.reader(f))
+    kept = [r for r in rows
+            if os.path.exists(os.path.join(args.data_root,
+                                           r[0] + args.suffix))]
+    with open(args.out, "w", newline="") as f:
+        csv.writer(f).writerows(kept)
+    print(f"kept {len(kept)}/{len(rows)} rows -> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("cremad-audio")
+    s.add_argument("--wav-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--batch-size", type=int, default=32)
+    s.set_defaults(fn=cmd_cremad_audio)
+
+    s = sub.add_parser("video-frames")
+    s.add_argument("--video-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--fps", type=float, default=1.0)
+    s.add_argument("--min-frames", type=int, default=3)
+    s.set_defaults(fn=cmd_video_frames)
+
+    s = sub.add_parser("mp4-to-wav")
+    s.add_argument("--video-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_mp4_to_wav)
+
+    s = sub.add_parser("food101-tokens")
+    s.add_argument("--list-file", required=True,
+                   help="tsv: image_path<TAB>text")
+    s.add_argument("--image-root", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--tokenizer", default="google/siglip-base-patch16-224")
+    s.set_defaults(fn=cmd_food101_tokens)
+
+    s = sub.add_parser("check-frames")
+    s.add_argument("--frames-root", required=True)
+    s.add_argument("--min-frames", type=int, default=6)
+    s.set_defaults(fn=cmd_check_frames)
+
+    s = sub.add_parser("fix-missing")
+    s.add_argument("--csv-file", required=True)
+    s.add_argument("--data-root", required=True)
+    s.add_argument("--suffix", default=".wav")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_fix_missing)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
