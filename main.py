@@ -15,7 +15,16 @@ from multimodal_clinical_tpu.engine.run import run_benchmark
 def run_training(argv=None):
     args = setup_configs(argv)
     benchmark = get_benchmark(args.dir)
-    summary = run_benchmark(args, benchmark)
+    num_seeds = int(getattr(args, "num_seeds", 1) or 1)
+    if num_seeds > 1:
+        # vmapped S-seed sweep in one XLA program (the reference forks S
+        # OS processes, enrico/run_parallel.sh)
+        from multimodal_clinical_tpu.engine.multiseed import run_multiseed
+
+        seeds = list(range(int(args.seed), int(args.seed) + num_seeds))
+        summary = run_multiseed(args, benchmark, seeds)
+    else:
+        summary = run_benchmark(args, benchmark)
     print({k: round(v, 4) for k, v in summary.items()})
     return summary
 

@@ -1,0 +1,155 @@
+"""Vmapped multi-seed training: S independent seeds on one chip.
+
+The reference runs seed sweeps as parallel OS processes
+(enrico/run_parallel.sh:1-12, mimic/run_parallel.sh — 20 background python
+jobs) and aggregates exported CSVs offline (mimic/analyze_data.py:4-23).
+On TPU the natural design is ``jax.vmap`` over the TrainState: S model
+replicas train in ONE XLA program, each with its own init, dropout stream,
+and data order (per-seed samplers stack to an (S, B, ...) superbatch).
+For the small reference models this multiplies MXU utilization instead of
+multiplying processes.
+
+Eval shares the val/test data across seeds (broadcast via in_axes=None) and
+reports per-seed metrics plus mean/std — the analyze_data.py aggregation,
+live instead of offline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import Loader
+from .metrics import eval_epoch_summary
+from .spec import ModelSpec
+from .state import create_train_state
+from .steps import make_eval_step, make_train_step
+
+
+def create_multiseed_state(spec: ModelSpec, args, sample_inputs,
+                           steps_per_epoch: int, seeds: List[int],
+                           opt_kwargs: Optional[Dict] = None):
+    """Stack S independently-initialized TrainStates into one leading axis."""
+    states = [
+        create_train_state(spec, args, jax.random.PRNGKey(int(s)),
+                           sample_inputs, steps_per_epoch, **(opt_kwargs or {}))
+        for s in seeds
+    ]
+    # static fields (apply_fn bound method, optax closures) are fresh objects
+    # per state; unify them so the pytrees share one treedef for stacking
+    states = [s.replace(apply_fn=states[0].apply_fn, tx=states[0].tx)
+              for s in states]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+class MultiSeedLoader:
+    """Stacks S per-seed index streams into (S, B, ...) superbatches."""
+
+    def __init__(self, dataset, batch_size: int, samplers, mesh=None,
+                 prefetch: int = 2):
+        self.loaders = [
+            Loader(dataset, batch_size, sampler, mesh=None, prefetch=1)
+            for sampler in samplers
+        ]
+        self.mesh = mesh
+
+    def set_epoch(self, epoch: int) -> None:
+        for loader in self.loaders:
+            loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return min(len(l) for l in self.loaders)
+
+    def __iter__(self):
+        iters = [iter(l._host_batches()) for l in self.loaders]
+        while True:
+            try:
+                batches = [next(it) for it in iters]
+            except StopIteration:
+                return
+            stacked = {
+                k: np.stack([b[k] for b in batches]) for k in batches[0]
+            }
+            yield {k: jax.device_put(v) for k, v in stacked.items()}
+
+
+def make_multiseed_steps(spec: ModelSpec):
+    """(train_step, eval_step) vmapped over the seed axis and jitted.
+
+    train: state and batch both carry a leading S axis.
+    eval:  state carries S; the batch is shared (broadcast).
+    """
+    train_raw = make_train_step(spec, jit=False)
+    eval_raw = make_eval_step(spec, jit=False)
+    train_v = jax.jit(jax.vmap(train_raw), donate_argnums=0)
+    eval_v = jax.jit(jax.vmap(eval_raw, in_axes=(0, None)))
+    return train_v, eval_v
+
+
+def multiseed_eval_summary(outputs: List[Dict], num_seeds: int, prefix: str
+                           ) -> Dict[str, float]:
+    """Per-seed epoch summaries + cross-seed mean/std (analyze_data.py)."""
+    per_seed: List[Dict[str, float]] = []
+    for s in range(num_seeds):
+        seed_outputs = [
+            {k: np.asarray(v)[s] for k, v in o.items()} for o in outputs
+        ]
+        per_seed.append(eval_epoch_summary(seed_outputs, prefix))
+    summary: Dict[str, float] = {}
+    for key in per_seed[0]:
+        values = np.asarray([p[key] for p in per_seed])
+        summary[key] = float(values.mean())
+        summary[key + "_std"] = float(values.std())
+        for s, v in enumerate(values):
+            summary[f"{key}_seed{s}"] = float(v)
+    return summary
+
+
+def run_multiseed(args, benchmark_module, seeds: List[int]
+                  ) -> Dict[str, float]:
+    """Train S seeds simultaneously; returns the cross-seed test summary."""
+    from ..data.sampler import SequentialSampler
+    from .metrics import EpochAccumulator
+    from .run import DataBundle, _make_sampler
+
+    data: DataBundle = benchmark_module.get_data(args)
+    spec, opt_kwargs = benchmark_module.get_model_spec(
+        args, n_train=len(data.train))
+    bs = int(args.batch_size)
+    steps_per_epoch = max(1, -(-len(data.train) // bs))
+
+    sample = data.train.gather(np.arange(min(2, len(data.train))))
+    sample_inputs = [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+    state = create_multiseed_state(spec, args, sample_inputs, steps_per_epoch,
+                                   seeds, opt_kwargs)
+
+    train_loader = MultiSeedLoader(
+        data.train, bs,
+        [_make_sampler(data.train_sampler, data.train, int(s))
+         for s in seeds],
+    )
+    val_loader = Loader(data.val, bs, SequentialSampler(len(data.val)))
+    test_loader = Loader(data.test, bs, SequentialSampler(len(data.test)))
+
+    train_step, eval_step = make_multiseed_steps(spec)
+
+    def eval_epoch(loader, prefix):
+        outputs = [eval_step(state, batch) for batch in loader]
+        return multiseed_eval_summary(outputs, len(seeds), prefix)
+
+    last_val = {}
+    for epoch in range(int(args.num_epochs)):
+        train_loader.set_epoch(epoch)
+        acc = EpochAccumulator()
+        for batch in train_loader:
+            state, metrics = train_step(state, batch)
+            acc.append({k: jnp.mean(v) for k, v in metrics.items()})
+        last_val = eval_epoch(val_loader, "val")
+        print(f"[multiseed epoch {epoch}] "
+              f"val_avg_acc={last_val.get('val_epoch/val_avg_acc', 0):.4f}"
+              f" ± {last_val.get('val_epoch/val_avg_acc_std', 0):.4f}")
+    summary = eval_epoch(test_loader, "test")
+    return summary

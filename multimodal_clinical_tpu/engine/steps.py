@@ -198,8 +198,9 @@ def _train_metrics(spec: ModelSpec, state: TrainState, aux, loss, label, valid
     return new_ema, metrics
 
 
-def make_train_step(spec: ModelSpec) -> Callable[[TrainState, Batch],
-                                                 Tuple[TrainState, Dict]]:
+def make_train_step(spec: ModelSpec, jit: bool = True
+                    ) -> Callable[[TrainState, Batch],
+                                  Tuple[TrainState, Dict]]:
     def train_step(state: TrainState, batch: Batch):
         step_rng = jax.random.fold_in(state.rng, state.step)
         dropout_rng, mod_rng, prep_rng = jax.random.split(step_rng, 3)
@@ -239,10 +240,11 @@ def make_train_step(spec: ModelSpec) -> Callable[[TrainState, Batch],
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=0)
+    return jax.jit(train_step, donate_argnums=0) if jit else train_step
 
 
-def make_eval_step(spec: ModelSpec) -> Callable[[TrainState, Batch], Dict]:
+def make_eval_step(spec: ModelSpec, jit: bool = True
+                   ) -> Callable[[TrainState, Batch], Dict]:
     eval_fusion = spec.eval_fusion or (
         "probas" if spec.contract == "jprobas" else "logits"
     )
@@ -309,4 +311,4 @@ def make_eval_step(spec: ModelSpec) -> Callable[[TrainState, Batch], Dict]:
                 outputs["loss"] = loss_joint + sum(loss_uni) + loss_reg
         return outputs
 
-    return jax.jit(eval_step)
+    return jax.jit(eval_step) if jit else eval_step

@@ -91,3 +91,21 @@ def test_exact_resume_continues_from_step(tmp_path):
     assert int(trainer3.state.step) > step_after_2
     # EMA state survived the round trip (non-zero after training)
     assert float(np.abs(np.asarray(trainer3.state.ema)).sum()) > 0
+
+
+def test_multiseed_vmapped_sweep():
+    from multimodal_clinical_tpu.engine.multiseed import run_multiseed
+
+    args = make_args(num_classes=4, num_epochs=2, batch_size=16,
+                     learning_rate=0.1)
+    summary = run_multiseed(args, avmnist, seeds=[0, 1, 2, 3])
+    assert "test_epoch/test_avg_acc" in summary
+    assert "test_epoch/test_avg_acc_std" in summary
+    # per-seed streams exposed (analyze_data.py-style aggregation)
+    assert "test_epoch/test_avg_acc_seed0" in summary
+    assert "test_epoch/test_avg_acc_seed3" in summary
+    # seeds actually differ (independent inits + data orders)
+    per_seed = [summary[f"test_epoch/test_avg_loss_seed{s}"] for s in range(4)]
+    assert len({round(v, 6) for v in per_seed}) > 1
+    # planted-signal data should still be learnable on average
+    assert summary["test_epoch/test_avg_acc"] > 0.3
