@@ -7,6 +7,10 @@ Extra flags: ``--seed N`` and repeatable ``--set key=value`` config
 overrides.
 """
 
+from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from multimodal_clinical_tpu.benchmarks import get_benchmark
 from multimodal_clinical_tpu.config import setup_configs
 from multimodal_clinical_tpu.engine.run import run_benchmark

@@ -143,6 +143,13 @@ class SigLIPModel(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         text = SigLIPTextTower(dtype=self.dtype, name="text_model")(token_ids)
         image = SigLIPVisionTower(dtype=self.dtype, name="vision_model")(pixels)
+        # HF SiglipModel.forward L2-normalizes both embeds; the reference's
+        # MLP heads consume exactly these normalized outputs
+        # (food101/joint_model.py:55-58)
+        text = text / jnp.linalg.norm(text.astype(jnp.float32), axis=-1,
+                                      keepdims=True)
+        image = image / jnp.linalg.norm(image.astype(jnp.float32), axis=-1,
+                                        keepdims=True)
         return text, image
 
 
@@ -172,6 +179,15 @@ def load_hf_siglip_params(checkpoint_path: str, params: dict) -> dict:
                  torch.load(bin_path, map_location="cpu").items()}
     else:
         raise FileNotFoundError(f"no HF weights under {checkpoint_path}")
+    return port_siglip_state_dict(state, params)
+
+
+def port_siglip_state_dict(state: dict, params: dict) -> dict:
+    """Port an HF SiglipModel state_dict (tensor or numpy values) into the
+    Flax parameter tree.  Also used for architecture-parity testing against
+    a randomly initialized torch SiglipModel (tests/test_siglip_parity.py)."""
+    state = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+                 np.asarray(v)) for k, v in state.items()}
 
     import copy
 
