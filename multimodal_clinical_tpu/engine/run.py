@@ -87,6 +87,21 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
     load_pretrained = getattr(benchmark_module, "load_pretrained", None)
     if load_pretrained is not None:
         state = load_pretrained(args, state)
+    # optional warm start from a saved checkpoint's weights (the reference's
+    # analysis variants load a fixed ensemble ckpt by path,
+    # enrico/joint_model_counts.py:100-107)
+    init_ckpt = getattr(args, "init_ckpt", None)
+    if init_ckpt:
+        from .checkpoint import BestCheckpointer
+
+        loader_ckpt = BestCheckpointer(init_ckpt)
+        restored = loader_ckpt.restore_last(state)
+        if restored is None:
+            restored = loader_ckpt.restore_best(state)
+        if restored is not state:
+            state = state.replace(params=restored.params,
+                                  batch_stats=restored.batch_stats)
+            print(f"[run] warm-started weights from {init_ckpt}")
     trainer = Trainer(args, spec, state, train_loader, val_loader, test_loader,
                       profile_dir=profile_dir)
     if getattr(args, "resume", False):

@@ -109,3 +109,19 @@ def test_multiseed_vmapped_sweep():
     assert len({round(v, 6) for v in per_seed}) > 1
     # planted-signal data should still be learnable on average
     assert summary["test_epoch/test_avg_acc"] > 0.3
+
+
+def test_init_ckpt_warm_start(tmp_path):
+    from multimodal_clinical_tpu.engine.run import run_benchmark
+
+    # train once to produce a checkpoint
+    args = make_args(num_epochs=1, ckpt_dir=str(tmp_path / "first"))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    ckpt_dir = trainer.ckpt.ckpt_dir
+
+    # warm-start a fresh run from those weights
+    args2 = make_args(num_epochs=1, ckpt_dir=str(tmp_path / "second"))
+    args2.init_ckpt = ckpt_dir
+    summary = run_benchmark(args2, avmnist)
+    assert "test_epoch/test_avg_acc" in summary
