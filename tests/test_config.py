@@ -55,3 +55,13 @@ def test_setup_configs_cli_overrides():
 def test_setup_configs_requires_dir():
     with pytest.raises(NotImplementedError):
         setup_configs([])
+
+
+def test_step_metric_name_fixups():
+    from multimodal_clinical_tpu.engine.metrics import step_metric_name
+
+    # step-level naming quirk preserved (BaseModel.py:99 vs 124)
+    assert step_metric_name("train", "train_x1_acc_uncal") == \
+        "train_step/train_x1_uncal_acc"
+    assert step_metric_name("train", "train_loss") == "train_step/train_loss"
+    assert step_metric_name("val", "val_acc") == "val_step/val_acc"

@@ -124,3 +124,21 @@ def test_siglip_towers_shapes():
                    for l in jax.tree_util.tree_leaves(variables["params"]))
     # siglip-base is ~203M params; architecture should be in that ballpark
     assert 150e6 < n_params < 260e6, n_params
+
+
+def test_stem_space_to_depth_matches_plain_conv():
+    import numpy as np
+    from multimodal_clinical_tpu.models.resnet import StemConv
+
+    for (h, w, c) in [(65, 81, 1), (32, 32, 3)]:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, h, w, c)
+                                            ).astype(np.float32))
+        plain = StemConv(64, space_to_depth=False)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        y_plain = plain.apply(variables, x)
+        y_s2d = StemConv(64, space_to_depth=True).apply(variables, x)
+        assert y_plain.shape == y_s2d.shape == (2, (h - 1) // 2 + 1,
+                                                (w - 1) // 2 + 1, 64)
+        np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_s2d),
+                                   atol=2e-5)
