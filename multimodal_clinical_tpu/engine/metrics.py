@@ -44,10 +44,15 @@ class EpochAccumulator:
     def summary(self) -> Dict[str, float]:
         out = {}
         for key, values in self._buffers.items():
+            # scan-dispatched steps append (K,)-shaped metric vectors while
+            # single steps append scalars; flatten both into one step stream
+            arr = np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in values]
+            )
             if key == "valid_count" or key.startswith("count_"):
-                out[key] = float(np.sum(np.asarray(jnp.stack(values))))
+                out[key] = float(arr.sum())
             else:
-                out[key] = float(np.mean(np.asarray(jnp.stack(values))))
+                out[key] = float(arr.mean())
         return out
 
     def clear(self) -> None:

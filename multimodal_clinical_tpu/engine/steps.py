@@ -243,6 +243,31 @@ def make_train_step(spec: ModelSpec, jit: bool = True
     return jax.jit(train_step, donate_argnums=0) if jit else train_step
 
 
+def make_scan_train_step(spec: ModelSpec, k: int):
+    """K optimizer steps per dispatch via ``lax.scan`` (device loop).
+
+    Takes K same-shape batches, stacks them on device, and scans the raw
+    train step — one XLA program per K steps, amortizing host dispatch
+    (which dominates small-model steps and remote-tunnel setups).  Metrics
+    come back with a leading (K,) axis.  Semantics are EXACTLY K sequential
+    steps — same optimizer updates, EMA, QMF scatters, per-step RNG folds.
+    """
+    raw = make_train_step(spec, jit=False)
+
+    def multi(state: TrainState, *batches: Batch):
+        stacked = {
+            key: jnp.stack([b[key] for b in batches]) for key in batches[0]
+        }
+
+        def body(carry, batch):
+            new_state, metrics = raw(carry, batch)
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, stacked)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
 def make_eval_step(spec: ModelSpec, jit: bool = True
                    ) -> Callable[[TrainState, Batch], Dict]:
     eval_fusion = spec.eval_fusion or (

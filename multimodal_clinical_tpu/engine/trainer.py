@@ -69,6 +69,15 @@ class Trainer:
         self.ckpt = BestCheckpointer(os.path.join(self.run_dir, "ckpt"))
         self.train_step = make_train_step(spec)
         self.eval_step = make_eval_step(spec)
+        # K optimizer steps per dispatch (lax.scan device loop); tail
+        # batches fall back to the single-step program
+        self.steps_per_dispatch = int(
+            getattr(args, "steps_per_dispatch", 1) or 1)
+        if self.steps_per_dispatch > 1:
+            from .steps import make_scan_train_step
+
+            self.scan_train_step = make_scan_train_step(
+                spec, self.steps_per_dispatch)
         self.log_every = int(getattr(args, "log_every_n_steps", 30) or 0)
         self.profile_dir = profile_dir
         self.history: List[Dict[str, float]] = []
@@ -108,17 +117,34 @@ class Trainer:
             profiling = self.profile_dir is not None and epoch == 1
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
+            pending = []
             for batch in self.train_loader:
+                if self.steps_per_dispatch > 1:
+                    pending.append(batch)
+                    if len(pending) < self.steps_per_dispatch:
+                        continue
+                    self.state, metrics = self.scan_train_step(
+                        self.state, *pending)
+                    samples += sum(b["label"].shape[0] for b in pending)
+                    global_step += len(pending)
+                    pending = []
+                else:
+                    self.state, metrics = self.train_step(self.state, batch)
+                    samples += batch["label"].shape[0]
+                    global_step += 1
+                acc.append(metrics)
+                if self.log_every and global_step % self.log_every == 0:
+                    self.logger.log(
+                        {step_metric_name("train", k):
+                         float(np.mean(np.asarray(v)))
+                         for k, v in metrics.items() if k != "valid_count"},
+                        step=global_step,
+                    )
+            for batch in pending:  # tail shorter than K: single steps
                 self.state, metrics = self.train_step(self.state, batch)
                 acc.append(metrics)
                 samples += batch["label"].shape[0]
                 global_step += 1
-                if self.log_every and global_step % self.log_every == 0:
-                    self.logger.log(
-                        {step_metric_name("train", k): float(np.asarray(v))
-                         for k, v in metrics.items() if k != "valid_count"},
-                        step=global_step,
-                    )
             if profiling:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), self.state.params

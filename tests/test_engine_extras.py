@@ -125,3 +125,26 @@ def test_init_ckpt_warm_start(tmp_path):
     args2.init_ckpt = ckpt_dir
     summary = run_benchmark(args2, avmnist)
     assert "test_epoch/test_avg_acc" in summary
+
+
+def test_scan_dispatch_matches_single_steps(tmp_path):
+    """K-steps-per-dispatch must produce exactly the same training math."""
+    import jax
+
+    def run(steps_per_dispatch):
+        args = make_args(num_epochs=1, batch_size=16,
+                         ckpt_dir=str(tmp_path / f"k{steps_per_dispatch}"))
+        args.steps_per_dispatch = steps_per_dispatch
+        trainer, _ = build_trainer(avmnist, args)
+        trainer.fit()
+        params = jax.tree_util.tree_leaves(trainer.state.params)
+        return trainer.history[-1], [np.asarray(p) for p in params]
+
+    hist1, params1 = run(1)
+    hist4, params4 = run(4)
+    assert abs(hist1["train_epoch/train_avg_loss"]
+               - hist4["train_epoch/train_avg_loss"]) < 1e-4
+    assert abs(hist1["val_epoch/val_avg_acc"]
+               - hist4["val_epoch/val_avg_acc"]) < 1e-6
+    for a, b in zip(params1, params4):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
