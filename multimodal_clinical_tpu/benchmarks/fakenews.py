@@ -26,7 +26,8 @@ from ..engine.run import DataBundle
 from ..engine.spec import ModelSpec
 from ..models.zoo import FakeNewsFusionNet
 
-MODEL_TYPES = ("jlogits", "ensemble")
+MODEL_TYPES = ("jlogits", "ensemble", "jlogits_dialogue",
+               "ensemble_dialogue")
 
 
 def _hash_tokenize(text: str, max_len: int, vocab: int) -> np.ndarray:
@@ -85,17 +86,23 @@ def get_data(args) -> DataBundle:
     data_dir = getattr(args, "data_path", "data/fakenews/")
     max_len = int(getattr(args, "max_seq_len", 128))
     vocab = int(getattr(args, "vocab_size", 30522))
+    with_dialogue = str(getattr(args, "model_type", "")).endswith("_dialogue")
     train_tsv = os.path.join(data_dir, "train.tsv")
-    if os.path.exists(train_tsv):
+    if os.path.exists(train_tsv) and not with_dialogue:
         train = FakeNewsDiskDataset(data_dir, "train.tsv", max_len, vocab)
         val = FakeNewsDiskDataset(data_dir, "validate.tsv", max_len, vocab)
         test = FakeNewsDiskDataset(data_dir, "test.tsv", max_len, vocab)
         synthetic = False
     else:
-        print(f"[fakenews] real data not found under {data_dir!r}; "
-              "using synthetic twin")
+        benchmark = "fakenews_dialogue" if with_dialogue else "fakenews"
+        if with_dialogue and os.path.exists(train_tsv):
+            print("[fakenews] dialogue variant needs a summarized-dialogue "
+                  "column; using synthetic twin (see docs/DATASETS.md)")
+        else:
+            print(f"[fakenews] real data not found under {data_dir!r}; "
+                  "using synthetic twin")
         train, val, test = make_synthetic_splits(
-            "fakenews", int(args.num_classes), int(getattr(args, "seed", 0)),
+            benchmark, int(args.num_classes), int(getattr(args, "seed", 0)),
             n_train=64, n_val=32, n_test=32,
         )
         synthetic = True
@@ -105,14 +112,20 @@ def get_data(args) -> DataBundle:
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
+    with_dialogue = model_type.endswith("_dialogue")
     module = FakeNewsFusionNet(
         num_classes=int(args.num_classes),
         vocab_size=int(getattr(args, "vocab_size", 30522)),
+        with_dialogue=with_dialogue,
     )
-    if model_type == "jlogits":
-        spec = ModelSpec(module=module, contract="jlogits")
-    elif model_type == "ensemble":
-        spec = ModelSpec(module=module, contract="ensemble")
+    num_modality = 3 if with_dialogue else 2
+    base = model_type.replace("_dialogue", "")
+    if base == "jlogits":
+        spec = ModelSpec(module=module, contract="jlogits",
+                         num_modality=num_modality)
+    elif base == "ensemble":
+        spec = ModelSpec(module=module, contract="ensemble",
+                         num_modality=num_modality)
     else:
         raise NotImplementedError(f"fakenews model_type {model_type!r}")
     return spec, {}

@@ -175,17 +175,10 @@ class Food101FusionNet(nn.Module):
         return {"logits": [l1, l2]}
 
 
-class FakeNewsFusionNet(nn.Module):
-    """Text + image late fusion for Fakeddit.
+class TextTransformer(nn.Module):
+    """Small pre-LN transformer text encoder over tokenized ids (padding id
+    0 masked), mean-pooled.  Used by the FakeNews towers."""
 
-    The reference left this benchmark broken (fakenews/run_training.py:42-44
-    imports a joint_model that does not exist; fakenews/model.py holds an
-    older concat-fusion design).  This completes it in the framework's
-    late-fusion style: a small text transformer over BERT-tokenized ids and
-    a scratch ResNet18 image encoder.
-    """
-
-    num_classes: int
     vocab_size: int = 30522
     embed_dim: int = 256
     num_heads: int = 4
@@ -193,39 +186,68 @@ class FakeNewsFusionNet(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x1, x2, train: bool = True):
-        # --- text tower ---
+    def __call__(self, ids, train: bool = True):
         emb = nn.Embed(self.vocab_size, self.embed_dim,
                        param_dtype=jnp.float32, dtype=self.dtype,
-                       name="x1_model_embed")(x1)
-        pos = self.param(
-            "x1_pos", nn.initializers.normal(0.02),
-            (1, x1.shape[1], self.embed_dim), jnp.float32,
-        )
+                       name="embed")(ids)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, ids.shape[1], self.embed_dim), jnp.float32)
         h = emb + pos.astype(emb.dtype)
-        mask = (x1 != 0)[:, None, None, :]
+        mask = (ids != 0)[:, None, None, :]
         for i in range(self.num_layers):
-            normed = nn.LayerNorm(param_dtype=jnp.float32,
-                                  name=f"x1_ln1_{i}")(h)
+            normed = nn.LayerNorm(param_dtype=jnp.float32, name=f"ln1_{i}")(h)
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype,
-                param_dtype=jnp.float32, name=f"x1_attn_{i}",
+                param_dtype=jnp.float32, name=f"attn_{i}",
             )(normed, mask=mask)
             h = h + attn
-            mlp_in = nn.LayerNorm(param_dtype=jnp.float32, name=f"x1_ln2_{i}")(h)
+            mlp_in = nn.LayerNorm(param_dtype=jnp.float32, name=f"ln2_{i}")(h)
             mlp = nn.Dense(4 * self.embed_dim, dtype=self.dtype,
-                           param_dtype=jnp.float32, name=f"x1_mlp1_{i}")(mlp_in)
+                           param_dtype=jnp.float32, name=f"mlp1_{i}")(mlp_in)
             mlp = nn.Dense(self.embed_dim, dtype=self.dtype,
-                           param_dtype=jnp.float32, name=f"x1_mlp2_{i}")(nn.gelu(mlp))
+                           param_dtype=jnp.float32,
+                           name=f"mlp2_{i}")(nn.gelu(mlp))
             h = h + mlp
-        denom = jnp.maximum(jnp.sum(mask[:, 0, 0, :], axis=-1, keepdims=True), 1)
-        text_emb = jnp.sum(h * mask[:, 0, 0, :, None], axis=1) / denom
-        l1 = TorchDense(self.num_classes, dtype=self.dtype, name="x1_classifier")(
-            text_emb
-        )
-        # --- image tower ---
+        token_mask = mask[:, 0, 0, :]
+        denom = jnp.maximum(jnp.sum(token_mask, axis=-1, keepdims=True), 1)
+        return jnp.sum(h * token_mask[..., None], axis=1) / denom
+
+
+class FakeNewsFusionNet(nn.Module):
+    """Text + image (+ optional dialogue) late fusion for Fakeddit.
+
+    The reference left this benchmark broken twice over:
+    fakenews/run_training.py:42-44 imports a joint_model that does not
+    exist, and fakenews/data_preprocessing.py:54 has a literal syntax error
+    (``text_embedder =``).  This completes the design in the framework's
+    late-fusion style: a small text transformer over BERT-tokenized ids and
+    a scratch ResNet18 image encoder; ``with_dialogue`` adds a third tower
+    over summarized-comment tokens — the equivalent of the reference's
+    MultimodalFakeNewsDetectionModelWithDialogue (fakenews/model.py:34-150).
+    """
+
+    num_classes: int
+    vocab_size: int = 30522
+    embed_dim: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+    with_dialogue: bool = False
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, x3=None, train: bool = True):
+        common = dict(vocab_size=self.vocab_size, embed_dim=self.embed_dim,
+                      num_heads=self.num_heads, num_layers=self.num_layers,
+                      dtype=self.dtype)
+        text_emb = TextTransformer(**common, name="x1_model")(x1, train)
+        l1 = TorchDense(self.num_classes, dtype=self.dtype,
+                        name="x1_classifier")(text_emb)
         feats = ResNetEncoder(dtype=self.dtype, name="x2_model")(x2, train)
-        l2 = TorchDense(self.num_classes, dtype=self.dtype, name="x2_classifier")(
-            global_avg_pool(feats)
-        )
-        return {"logits": [l1, l2]}
+        l2 = TorchDense(self.num_classes, dtype=self.dtype,
+                        name="x2_classifier")(global_avg_pool(feats))
+        logits = [l1, l2]
+        if self.with_dialogue:
+            dlg_emb = TextTransformer(**common, name="x3_model")(x3, train)
+            logits.append(TorchDense(self.num_classes, dtype=self.dtype,
+                                     name="x3_classifier")(dlg_emb))
+        return {"logits": logits}

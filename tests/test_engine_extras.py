@@ -148,3 +148,17 @@ def test_scan_dispatch_matches_single_steps(tmp_path):
                - hist4["val_epoch/val_avg_acc"]) < 1e-6
     for a, b in zip(params1, params4):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_fakenews_dialogue_three_modality(tmp_path):
+    from multimodal_clinical_tpu.benchmarks import fakenews
+
+    args = make_args(num_classes=6, model_type="jlogits_dialogue",
+                     num_epochs=1, batch_size=16, ckpt_dir=str(tmp_path))
+    args.max_seq_len = 16
+    args.vocab_size = 1000
+    trainer, data = build_trainer(fakenews, args)
+    trainer.fit()
+    summary = trainer.test()
+    assert "test_epoch/test_avg_x3_acc" in summary or \
+        "test_epoch/test_avg_x3_acc_uncal" in summary
