@@ -98,6 +98,10 @@ def setup_configs(argv=None) -> SimpleNamespace:
     """Parse ``--dir`` (plus optional ``--seed``/``--set k=v``) and load config."""
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None,
+                        help="single YAML merged over base_cfg (the legacy "
+                             "runners' flag, e.g. ave/run_training.py:28-37); "
+                             "the dataset is inferred from the file stem")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the run's rolling 'last' checkpoint")
@@ -109,10 +113,18 @@ def setup_configs(argv=None) -> SimpleNamespace:
         help="override any config key, e.g. --set model_type=qmf",
     )
     args_cli = parser.parse_args(argv)
-    if not args_cli.dir:
+    if not args_cli.dir and not args_cli.config:
         raise NotImplementedError("No directory provided, please specify flag --dir")
 
     overrides: Dict[str, Any] = {}
+    if args_cli.config and not args_cli.dir:
+        # legacy single-yaml mode: dataset name = file stem, file contents
+        # become overrides on top of the normal base+dataset merge
+        stem = os.path.splitext(os.path.basename(args_cli.config))[0]
+        args_cli.dir = stem
+        from .merge import load_yaml
+
+        overrides.update(load_yaml(args_cli.config))
     for item in args_cli.set:
         key, _, raw = item.partition("=")
         try:

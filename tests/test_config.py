@@ -65,3 +65,14 @@ def test_step_metric_name_fixups():
         "train_step/train_x1_uncal_acc"
     assert step_metric_name("train", "train_loss") == "train_step/train_loss"
     assert step_metric_name("val", "val_acc") == "val_step/val_acc"
+
+
+def test_setup_configs_legacy_config_flag(tmp_path):
+    # legacy runners take a single --config yaml (ave/run_training.py:28-37)
+    cfg = tmp_path / "avmnist.yaml"
+    cfg.write_text("batch_size: 12\nmodel_type: ensemble\n")
+    args = setup_configs(["--config", str(cfg)])
+    assert args.dir == "avmnist"
+    assert args.batch_size == 12
+    assert args.model_type == "ensemble"
+    assert args.num_classes == 10  # from configs/avmnist.yaml base merge
