@@ -152,4 +152,33 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
               f"val_avg_acc={last_val.get('val_epoch/val_avg_acc', 0):.4f}"
               f" ± {last_val.get('val_epoch/val_avg_acc_std', 0):.4f}")
     summary = eval_epoch(test_loader, "test")
+    _write_seed_csv(args, seeds, summary)
     return summary
+
+
+def _write_seed_csv(args, seeds, summary) -> None:
+    """Persist per-seed test metrics as CSV — the artifact shape the
+    reference exports from W&B for offline comparison
+    (mimic/mimic_{ensemble,jlogits}.csv, mimic/analyze_data.py:4-23)."""
+    import csv
+    import os
+
+    data_path = str(getattr(args, "data_path", "runs")).rstrip("/")
+    run_dir = (getattr(args, "ckpt_dir", None)
+               or f"{data_path}_ckpts")
+    run_dir = os.path.join(run_dir, str(getattr(args, "group_name", "run")))
+    os.makedirs(run_dir, exist_ok=True)
+    base_keys = sorted({k.rsplit("_seed", 1)[0] for k in summary
+                        if "_seed" in k})
+    path = os.path.join(run_dir, "seeds.csv")
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["seed"] + base_keys)
+        for s_pos, seed in enumerate(seeds):
+            writer.writerow(
+                [seed] + [summary.get(f"{k}_seed{s_pos}", "") for k in base_keys]
+            )
+        writer.writerow(["mean"] + [summary.get(k, "") for k in base_keys])
+        writer.writerow(["std"] + [summary.get(k + "_std", "")
+                                   for k in base_keys])
+    print(f"[multiseed] wrote per-seed metrics to {path}")

@@ -57,3 +57,17 @@ def test_weighted_sampler_balances_classes_any_backend():
     # per-epoch determinism, cross-epoch variation
     np.testing.assert_array_equal(idx, sampler.indices(0))
     assert not np.array_equal(idx, sampler.indices(1))
+
+
+def test_host_sharded_index_streams():
+    """Per-host strided shards partition the same global stream."""
+    from multimodal_clinical_tpu.data.sampler import RandomSampler
+
+    full = RandomSampler(100, seed=7).indices(epoch=3)
+    shards = [RandomSampler(100, seed=7, process_index=i,
+                            process_count=4).indices(epoch=3)
+              for i in range(4)]
+    recombined = np.empty(100, np.int64)
+    for i, shard in enumerate(shards):
+        recombined[i::4] = shard
+    np.testing.assert_array_equal(recombined, full)
