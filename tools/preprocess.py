@@ -189,6 +189,20 @@ def cmd_food101_tokens(args):
     print(f"wrote {count} samples to {args.out}")
 
 
+def cmd_food101_split(args):
+    """jsonl -> my_{split}_food.txt path/label lists
+    (food101/gen_food_txt.py:1-23 equivalent)."""
+    import json
+
+    count = 0
+    with open(args.jsonl) as fin, open(args.out, "w") as fout:
+        for line in fin:
+            rec = json.loads(line)
+            fout.write(f"{rec['image']} {int(rec['label'])}\n")
+            count += 1
+    print(f"wrote {count} entries to {args.out}")
+
+
 def cmd_check_frames(args):
     bad = []
     for clip in sorted(os.listdir(args.frames_root)):
@@ -240,6 +254,12 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--tokenizer", default="google/siglip-base-patch16-224")
     s.set_defaults(fn=cmd_food101_tokens)
+
+    s = sub.add_parser("food101-split")
+    s.add_argument("--jsonl", required=True,
+                   help="records with 'image' and 'label' fields")
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_food101_split)
 
     s = sub.add_parser("check-frames")
     s.add_argument("--frames-root", required=True)
