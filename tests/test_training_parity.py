@@ -1,0 +1,157 @@
+"""Training-dynamics parity: our engine vs a torch replica of the reference
+loop on IDENTICAL data.
+
+The real-data accuracy targets (BASELINE.md) need the datasets on disk; this
+is the strongest available proxy: the reference's own LeNet FusionNet
+(imported read-only from /root/reference) trained with the reference's
+optimizer/loss semantics, against our AVMnistFusionNet + jlogits step
+factory, on the same synthetic tensors — final accuracies must agree within
+run-to-run noise (the parity spec, SURVEY §7)."""
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import torch
+
+REFERENCE = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                       reason="reference checkout not present"),
+]
+
+
+def _load_reference_lenet():
+    sys.path.insert(0, os.path.join(REFERENCE, "avmnist"))
+    for name in ("pytorch_lightning", "torchvision", "torchvision.models"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["pytorch_lightning"].LightningModule = object
+    try:
+        import joint_model as ref_joint  # type: ignore
+    finally:
+        sys.path.pop(0)
+    return ref_joint
+
+
+def _make_data(n_train=512, n_test=128, num_classes=10, seed=0):
+    from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+
+    shapes = [(28, 28, 1), (28, 28, 1)]  # small twin for CPU-torch speed
+    train = make_synthetic_dataset("avmnist", n_train, num_classes,
+                                   seed=seed, dirs_seed=seed, shapes=shapes)
+    test = make_synthetic_dataset("avmnist", n_test, num_classes,
+                                  seed=seed + 1, dirs_seed=seed,
+                                  shapes=shapes)
+    return train, test
+
+
+def _torch_accuracy(net, x1, x2, labels):
+    with torch.no_grad():
+        l1, l2, avg, _ = net(x1, x2, labels)
+    return float((avg.argmax(1) == labels).float().mean())
+
+
+def test_jlogits_training_dynamics_match_reference(tmp_path):
+    num_classes, batch, epochs, lr = 10, 32, 4, 0.05
+    train, test = _make_data(num_classes=num_classes)
+
+    # ---------------- torch reference loop ----------------
+    ref_joint = _load_reference_lenet()
+    torch.manual_seed(0)
+
+    class RefNet(torch.nn.Module):
+        """Reference FusionNet geometry with both towers LeNet(6,3) (our
+        synthetic twin uses 28x28 for both modalities for CPU speed)."""
+
+        def __init__(self):
+            super().__init__()
+            self.x1_model = ref_joint.LeNet(1, 6, 3)
+            self.x2_model = ref_joint.LeNet(1, 6, 3)
+            self.classifier_x1 = torch.nn.Linear(48, num_classes)
+            self.classifier_x2 = torch.nn.Linear(48, num_classes)
+            self.loss_fn = torch.nn.CrossEntropyLoss()
+
+        def forward(self, x1, x2, label):
+            h1 = torch.relu(self.x1_model(x1))
+            h2 = torch.relu(self.x2_model(x2))
+            l1 = self.classifier_x1(h1)
+            l2 = self.classifier_x2(h2)
+            avg = (l1 + l2) / 2
+            return l1, l2, avg, self.loss_fn(avg, label)
+
+    net = RefNet()
+    opt = torch.optim.SGD(net.parameters(), lr=lr)  # legacy plain SGD
+    tx1 = torch.tensor(train.modalities[0].transpose(0, 3, 1, 2))
+    tx2 = torch.tensor(train.modalities[1].transpose(0, 3, 1, 2))
+    ty = torch.tensor(train.labels.astype(np.int64))
+    order_rng = np.random.default_rng(0)
+    net.train()
+    for _ in range(epochs):
+        order = order_rng.permutation(len(ty))
+        for start in range(0, len(ty), batch):
+            idx = order[start:start + batch]
+            opt.zero_grad()
+            _, _, _, loss = net(tx1[idx], tx2[idx], ty[idx])
+            loss.backward()
+            opt.step()
+    net.eval()
+    torch_acc = _torch_accuracy(
+        net,
+        torch.tensor(test.modalities[0].transpose(0, 3, 1, 2)),
+        torch.tensor(test.modalities[1].transpose(0, 3, 1, 2)),
+        torch.tensor(test.labels.astype(np.int64)),
+    )
+
+    # ---------------- our engine ----------------
+    from multimodal_clinical_tpu.engine.run import (
+        DataBundle, build_loaders, init_state_on_mesh,
+    )
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.trainer import Trainer
+    from multimodal_clinical_tpu.models.zoo import AVMnistFusionNet
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    class SmallAVNet(nn.Module):
+        """Our AVMnist net with the second tower shrunk to match RefNet."""
+
+        num_classes: int
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            from multimodal_clinical_tpu.models.common import TorchDense
+            from multimodal_clinical_tpu.models.lenet import LeNet
+
+            h1 = nn.relu(LeNet(6, 3, name="x1_model")(x1, train))
+            h2 = nn.relu(LeNet(6, 3, name="x2_model")(x2, train))
+            l1 = TorchDense(self.num_classes, name="classifier_x1")(h1)
+            l2 = TorchDense(self.num_classes, name="classifier_x2")(h2)
+            return {"logits": [l1, l2]}
+
+    args = SimpleNamespace(
+        num_classes=num_classes, batch_size=batch, learning_rate=lr,
+        num_epochs=epochs, use_wandb=False, group_name="parity", seed=0,
+        use_scheduler=False, mesh_shape=None, ckpt_dir=str(tmp_path),
+        log_every_n_steps=0, data_path=str(tmp_path),
+    )
+    data = DataBundle(train, test, test, train_sampler="random",
+                      synthetic=True)
+    mesh = make_mesh()
+    spec = ModelSpec(module=SmallAVNet(num_classes=num_classes))
+    loaders = build_loaders(args, data, mesh)
+    state = init_state_on_mesh(spec, args, data, mesh,
+                               {"momentum": 0.0, "weight_decay": 0.0})
+    trainer = Trainer(args, spec, state, *loaders)
+    trainer.fit()
+    ours_acc = trainer.test(restore_best=False)["test_epoch/test_avg_acc"]
+
+    # both learn the planted signal, and agree within run-to-run noise
+    assert torch_acc > 0.5, torch_acc
+    assert ours_acc > 0.5, ours_acc
+    assert abs(torch_acc - ours_acc) < 0.15, (torch_acc, ours_acc)
