@@ -44,6 +44,16 @@ IGNORES = {"50105", "50109"}
 
 
 def _decode_image(path: str, size=(256, 128)) -> np.ndarray:
+    """Exact-resize decode to (H, W, 3) float32 in [0, 1] — the reference's
+    transforms.Resize((256, 128)) + ToTensor.  JPEGs go through the native
+    libjpeg path (DCT-domain downscale + bilinear) when built; PNGs (the
+    wireframes) and fallback use PIL."""
+    if path.endswith((".jpg", ".jpeg")):
+        from ..utils.native import decode_jpeg
+
+        out = decode_jpeg(path, size[0], size[1])
+        if out is not None:
+            return out
     from PIL import Image
 
     img = Image.open(path).convert("RGB").resize((size[1], size[0]))

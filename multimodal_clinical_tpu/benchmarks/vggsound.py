@@ -90,11 +90,16 @@ class VGGSoundDiskDataset:
             else:
                 picks = np.linspace(0, len(names) - 1,
                                     self.use_video_frames).astype(int)
+            from ..utils.native import decode_jpeg
+
             fs = []
             for p in picks:
-                img = Image.open(os.path.join(frame_dir, names[int(p)])
-                                 ).convert("RGB").resize((224, 224))
-                fs.append(np.asarray(img, np.float32) / 255.0)
+                fpath = os.path.join(frame_dir, names[int(p)])
+                arr = decode_jpeg(fpath, 224, 224)  # native libjpeg path
+                if arr is None:
+                    img = Image.open(fpath).convert("RGB").resize((224, 224))
+                    arr = np.asarray(img, np.float32) / 255.0
+                fs.append(arr)
             frames.append(np.stack(fs))
             labels.append(label)
         return {

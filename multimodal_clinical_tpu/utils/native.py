@@ -55,6 +55,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.decode_jpeg_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.decode_jpeg_resize.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -91,6 +96,30 @@ class AliasTable:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         return out
+
+
+def decode_jpeg(path_or_bytes, out_h: int, out_w: int
+                ) -> Optional[np.ndarray]:
+    """Decode a JPEG and bilinear-resize to (out_h, out_w).
+
+    Returns float32 RGB HWC in [0, 1], or None when the native library is
+    unavailable or decoding fails (callers fall back to PIL).  Uses libjpeg
+    DCT-domain downscaling, so large frames never fully materialize.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = np.frombuffer(bytes(path_or_bytes), np.uint8)
+    else:
+        data = np.fromfile(path_or_bytes, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.float32)
+    rc = lib.decode_jpeg_resize(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
 
 
 def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:

@@ -71,3 +71,37 @@ def test_host_sharded_index_streams():
     for i, shard in enumerate(shards):
         recombined[i::4] = shard
     np.testing.assert_array_equal(recombined, full)
+
+
+@needs_native
+def test_decode_jpeg_matches_pil():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    # smooth synthetic image so JPEG loss is small
+    base = rng.normal(size=(8, 12, 3))
+    img = np.clip(
+        np.kron(base, np.ones((40, 40, 1))) * 0.2 + 0.5, 0, 1)
+    pil = Image.fromarray((img * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+
+    got = native.decode_jpeg(data, 160, 240)
+    assert got is not None and got.shape == (160, 240, 3)
+    want = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (240, 160), Image.BILINEAR),
+        np.float32) / 255.0
+    # different decode paths (DCT-domain downscale vs full decode +
+    # bilinear): distributionally close; isolated block-edge pixels differ
+    diff = np.abs(got - want)
+    assert diff.mean() < 0.01
+    assert np.quantile(diff, 0.99) < 0.1
+
+
+@needs_native
+def test_decode_jpeg_rejects_garbage():
+    assert native.decode_jpeg(b"not a jpeg at all", 32, 32) is None
