@@ -58,18 +58,33 @@ class CremadDiskDataset:
     def __len__(self):
         return len(self.items)
 
-    def _load_frames(self, clip_id: str) -> np.ndarray:
+    def _decode_min_side_256(self, path: str) -> np.ndarray:
+        """Decode + resize so min(H, W) == 256 (the reference's
+        transforms.Resize(256)); native libjpeg path with PIL fallback."""
+        from ..utils.native import decode_jpeg, jpeg_dims
+
+        dims = jpeg_dims(path)
+        if dims is not None:
+            h, w = dims
+            scale = 256.0 / min(h, w)
+            arr = decode_jpeg(path, int(round(h * scale)),
+                              int(round(w * scale)))
+            if arr is not None:
+                return arr
         from PIL import Image
 
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        scale = 256.0 / min(w, h)
+        img = img.resize((int(round(w * scale)), int(round(h * scale))))
+        return np.asarray(img, np.float32) / 255.0
+
+    def _load_frames(self, clip_id: str) -> np.ndarray:
         frame_dir = os.path.join(self.data_dir, "image", clip_id)
         names = sorted(os.listdir(frame_dir))[:3]
         frames = []
         for name in names:
-            img = Image.open(os.path.join(frame_dir, name)).convert("RGB")
-            w, h = img.size
-            scale = 256.0 / min(w, h)
-            img = img.resize((int(round(w * scale)), int(round(h * scale))))
-            arr = np.asarray(img, np.float32) / 255.0
+            arr = self._decode_min_side_256(os.path.join(frame_dir, name))
             hh, ww = arr.shape[:2]
             if self.train:
                 top = self._rng.integers(0, hh - 224 + 1)

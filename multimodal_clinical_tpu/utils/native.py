@@ -60,6 +60,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
     ]
     lib.decode_jpeg_resize.restype = ctypes.c_int
+    lib.jpeg_dims.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.jpeg_dims.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -120,6 +125,24 @@ def decode_jpeg(path_or_bytes, out_h: int, out_w: int
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out if rc == 0 else None
+
+
+def jpeg_dims(path_or_bytes) -> Optional[tuple]:
+    """(height, width) from the JPEG header only; None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = np.frombuffer(bytes(path_or_bytes), np.uint8)
+    else:
+        data = np.fromfile(path_or_bytes, np.uint8)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.jpeg_dims(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    return (h.value, w.value) if rc == 0 else None
 
 
 def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:

@@ -65,6 +65,28 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, int th, int tw,
 
 extern "C" {
 
+// Header-only dimension probe. Returns 0 on success.
+int jpeg_dims(const uint8_t* data, int64_t len, int32_t* h, int32_t* w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *h = (int32_t)cinfo.image_height;
+  *w = (int32_t)cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Decode one JPEG from memory, resize to (out_h, out_w), write float32 RGB
 // [0,1] HWC into out (out_h*out_w*3 floats).  Returns 0 on success.
 int decode_jpeg_resize(const uint8_t* data, int64_t len, int32_t out_h,

@@ -105,3 +105,16 @@ def test_decode_jpeg_matches_pil():
 @needs_native
 def test_decode_jpeg_rejects_garbage():
     assert native.decode_jpeg(b"not a jpeg at all", 32, 32) is None
+
+
+@needs_native
+def test_jpeg_dims_header_probe():
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (320, 200), (40, 80, 120))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    assert native.jpeg_dims(buf.getvalue()) == (200, 320)
+    assert native.jpeg_dims(b"garbage") is None
