@@ -167,3 +167,27 @@ def test_fakenews_dialogue_three_modality(tmp_path):
     summary = trainer.test()
     assert "test_epoch/test_avg_x3_acc" in summary or \
         "test_epoch/test_avg_x3_acc_uncal" in summary
+
+
+def test_orbax_checkpoint_backend_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.engine.checkpoint import BestCheckpointer
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    args = make_args(num_classes=4)
+    spec = ModelSpec(module=MimicFusionNet(num_classes=4))
+    state = create_train_state(spec, args, jax.random.PRNGKey(0),
+                               [jnp.zeros((2, 5)), jnp.zeros((2, 24, 12))],
+                               steps_per_epoch=2)
+    ck = BestCheckpointer(str(tmp_path), backend="orbax")
+    assert ck.maybe_save(state, 0.5)
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x * 0, state.params))
+    restored = ck.restore_best(zeroed)
+    a = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(restored.params)[0])
+    np.testing.assert_array_equal(a, b)

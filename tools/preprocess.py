@@ -106,17 +106,35 @@ def cmd_cremad_audio(args):
     print(f"wrote {len(wavs)} spectrograms to {args.out}")
 
 
+def _load_segments(path):
+    """clip_id,start_sec,end_sec csv -> dict (the AVE SE-aware pipeline,
+    ave/video_preprocessing.py video2frame_update_SE / extractWav_SE)."""
+    segments = {}
+    if not path:
+        return segments
+    with open(path) as f:
+        for row in csv.reader(f):
+            if len(row) >= 3:
+                segments[row[0]] = (float(row[1]), float(row[2]))
+    return segments
+
+
 def cmd_video_frames(args):
     _require_ffmpeg()
     os.makedirs(args.out, exist_ok=True)
+    segments = _load_segments(getattr(args, "segments", None))
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith((".mp4", ".flv", ".avi")))
     for name in videos:
         clip = os.path.splitext(name)[0]
         out_dir = os.path.join(args.out, clip)
         os.makedirs(out_dir, exist_ok=True)
+        seg = []
+        if clip in segments:
+            start, end = segments[clip]
+            seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", "-i",
+            ["ffmpeg", "-loglevel", "error", *seg, "-i",
              os.path.join(args.video_dir, name),
              "-vf", f"fps={args.fps}", "-q:v", "2",
              os.path.join(out_dir, "frame_%05d.jpg")],
@@ -135,14 +153,20 @@ def cmd_video_frames(args):
 def cmd_mp4_to_wav(args):
     _require_ffmpeg()
     os.makedirs(args.out, exist_ok=True)
+    segments = _load_segments(getattr(args, "segments", None))
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith(".mp4"))
     for name in videos:
+        clip = os.path.splitext(name)[0]
+        seg = []
+        if clip in segments:
+            start, end = segments[clip]
+            seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", "-i",
+            ["ffmpeg", "-loglevel", "error", *seg, "-i",
              os.path.join(args.video_dir, name), "-ac", "1", "-ar",
              str(TARGET_SR),
-             os.path.join(args.out, os.path.splitext(name)[0] + ".wav")],
+             os.path.join(args.out, clip + ".wav")],
             check=True,
         )
     print(f"extracted audio for {len(videos)} videos into {args.out}")
@@ -240,11 +264,16 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--fps", type=float, default=1.0)
     s.add_argument("--min-frames", type=int, default=3)
+    s.add_argument("--segments", default=None,
+                   help="clip,start,end csv for segment-aware extraction "
+                        "(AVE SE pipeline)")
     s.set_defaults(fn=cmd_video_frames)
 
     s = sub.add_parser("mp4-to-wav")
     s.add_argument("--video-dir", required=True)
     s.add_argument("--out", required=True)
+    s.add_argument("--segments", default=None,
+                   help="clip,start,end csv (AVE extractWav_SE)")
     s.set_defaults(fn=cmd_mp4_to_wav)
 
     s = sub.add_parser("food101-tokens")
