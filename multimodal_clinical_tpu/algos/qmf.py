@@ -71,20 +71,22 @@ def history_update(
     idx: (B,) global sample indices.  batch_loss: scalar (batch-mean unimodal
     CE — see module docstring).  batch_conf: (B,) confidences.
 
-    With padded batches, invalid rows are redirected to their own index with
-    an identity update, so padding never corrupts the table.
+    With padded batches, invalid rows scatter to an out-of-bounds index with
+    ``mode="drop"`` — they never touch the table.  (Masking the *values*
+    instead is wrong: the loader pads by repeating the last real index, and
+    a duplicate-index scatter has an implementation-defined winner, so a
+    stale pad write could overwrite the last real sample's update.)
     """
     loss_val = jax.lax.stop_gradient(batch_loss).astype(correctness.dtype)
     conf_val = jax.lax.stop_gradient(batch_conf).astype(confidence.dtype)
-    old = correctness[idx]
-    new_corr = (1.0 - alpha) * old + alpha * loss_val
-    new_conf = conf_val
+    n = correctness.shape[0]
     if valid is not None:
-        keep = valid.astype(correctness.dtype)
-        new_corr = keep * new_corr + (1.0 - keep) * old
-        new_conf = keep * new_conf + (1.0 - keep) * confidence[idx]
-    correctness = correctness.at[idx].set(new_corr)
-    confidence = confidence.at[idx].set(new_conf)
+        idx = jnp.where(valid.astype(bool), idx, n)  # n = out of bounds
+    new_corr = (1.0 - alpha) * correctness.at[idx].get(mode="fill",
+                                                       fill_value=0.0) \
+        + alpha * loss_val
+    correctness = correctness.at[idx].set(new_corr, mode="drop")
+    confidence = confidence.at[idx].set(conf_val, mode="drop")
     return correctness, confidence
 
 

@@ -30,14 +30,11 @@ NUM_FRAMES = 6
 
 
 class AveDiskDataset(CremadDiskDataset):
-    """Same on-disk layout handling as Crema-D but 6 frames + SpecAugment
-    applied on device by the train step pipeline (ops/specaugment.py)."""
+    """Same on-disk layout handling as Crema-D but 6 DISTINCT frames per
+    clip (PMR protocol, ave/get_data.py:135) + SpecAugment applied on
+    device by the train step pipeline (ops/specaugment.py)."""
 
-    def _load_frames(self, clip_id: str) -> np.ndarray:
-        frames = super()._load_frames(clip_id)
-        while frames.shape[0] < NUM_FRAMES:
-            frames = np.concatenate([frames, frames[-1:]])
-        return frames[:NUM_FRAMES]
+    num_frames = NUM_FRAMES
 
 
 def _read_split_txt(data_dir: str, txt: str, class_map):
@@ -93,7 +90,10 @@ def device_preprocess(batch, rng, train: bool):
     from ..ops.specaugment import spec_augment
 
     batch = dict(batch)
-    batch["x1"] = spec_augment(rng, batch["x1"])
+    # reduced masking params per ave/get_data.py:148-155
+    batch["x1"] = spec_augment(rng, batch["x1"], freq_mask_param=15,
+                               time_mask_param=60, num_freq_masks=1,
+                               num_time_masks=1)
     return batch
 
 

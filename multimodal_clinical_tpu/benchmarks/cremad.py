@@ -2,11 +2,11 @@
 6-way emotion classification.
 
 Data (reference cremad/get_data.py): train.csv/test.csv file lists; pickled
-(257, 1004) spectrograms; 3 JPEG frames per clip resized to 224x224 with
-train-time random crop/flip and eval-time center crop; balanced weighted
-samplers on train and val; VAL IS THE TEST SET (get_data.py:160-166 quirk —
-preserved).  Images are normalized with the ImageNet mean/std
-(get_data.py:94-109 transforms).
+(257, 1004) spectrograms; first 3 JPEG frames per clip through the
+reference transforms — train RandomResizedCrop(224) + horizontal flip,
+eval Resize((224, 224)), both ImageNet-normalized (get_data.py:94-109);
+balanced weighted samplers on train and val; VAL IS THE TEST SET
+(get_data.py:160-166 quirk — preserved).
 
 All ten model variants from the reference factory (cremad/__init__.py:4-23):
   jlogits / jprobas / ensemble (CE x3, cremad/ensemble_model.py:54-55) /
@@ -35,18 +35,18 @@ MODEL_TYPES = ("jlogits", "jprobas", "ensemble", "ogm_ge", "ensemble_ogm_ge",
                "qmf", "qmf_ablate", "qmf_ablate_Ljoint",
                "qmf_ablate_Lunimodal", "ogm_ge_lreg")
 
-_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
-
-
 class CremadDiskDataset:
     """Lazy per-batch loader over pickled spectrograms + JPEG frames.
 
-    Unlike the in-memory adapters, Crema-D data (~GBs) is read at gather
-    time on the host prefetch thread; decoded frames are center-cropped
-    (eval) or randomly cropped/flipped (train) like the reference
-    torchvision transforms (cremad/get_data.py:94-109).
+    Frames go through the reference's exact torchvision pipeline
+    (cremad/get_data.py:94-109): train RandomResizedCrop(224) + horizontal
+    flip + ImageNet normalize; eval Resize((224, 224)) + normalize; the
+    first ``num_frames`` frames of each clip dir (the reference reads
+    os.listdir order; we sort for determinism).  Decoding runs on the host
+    prefetch thread (native libjpeg for the eval exact-resize path).
     """
+
+    num_frames = 3  # PMR protocol (cremad/get_data.py:117)
 
     def __init__(self, data_dir: str, items, train: bool, seed: int = 0):
         self.data_dir = data_dir
@@ -58,47 +58,23 @@ class CremadDiskDataset:
     def __len__(self):
         return len(self.items)
 
-    def _decode_min_side_256(self, path: str) -> np.ndarray:
-        """Decode + resize so min(H, W) == 256 (the reference's
-        transforms.Resize(256)); native libjpeg path with PIL fallback."""
-        from ..utils.native import decode_jpeg, jpeg_dims
-
-        dims = jpeg_dims(path)
-        if dims is not None:
-            h, w = dims
-            scale = 256.0 / min(h, w)
-            arr = decode_jpeg(path, int(round(h * scale)),
-                              int(round(w * scale)))
-            if arr is not None:
-                return arr
-        from PIL import Image
-
-        img = Image.open(path).convert("RGB")
-        w, h = img.size
-        scale = 256.0 / min(w, h)
-        img = img.resize((int(round(w * scale)), int(round(h * scale))))
-        return np.asarray(img, np.float32) / 255.0
+    def _frame_names(self, frame_dir):
+        return sorted(os.listdir(frame_dir))[: self.num_frames]
 
     def _load_frames(self, clip_id: str) -> np.ndarray:
+        from ..data.imageops import load_frame_eval, load_frame_train
+
         frame_dir = os.path.join(self.data_dir, "image", clip_id)
-        names = sorted(os.listdir(frame_dir))[:3]
         frames = []
-        for name in names:
-            arr = self._decode_min_side_256(os.path.join(frame_dir, name))
-            hh, ww = arr.shape[:2]
+        for name in self._frame_names(frame_dir):
+            path = os.path.join(frame_dir, name)
             if self.train:
-                top = self._rng.integers(0, hh - 224 + 1)
-                left = self._rng.integers(0, ww - 224 + 1)
-                arr = arr[top:top + 224, left:left + 224]
-                if self._rng.random() < 0.5:
-                    arr = arr[:, ::-1]
+                frames.append(load_frame_train(path, self._rng))
             else:
-                top, left = (hh - 224) // 2, (ww - 224) // 2
-                arr = arr[top:top + 224, left:left + 224]
-            frames.append((arr - _IMAGENET_MEAN) / _IMAGENET_STD)
-        while len(frames) < 3:
+                frames.append(load_frame_eval(path))
+        while len(frames) < self.num_frames:
             frames.append(frames[-1])
-        return np.stack(frames)  # (3, 224, 224, 3)
+        return np.stack(frames)  # (num_frames, 224, 224, 3)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         specs, frames, labels = [], [], []

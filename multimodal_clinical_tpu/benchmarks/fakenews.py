@@ -31,7 +31,13 @@ MODEL_TYPES = ("jlogits", "ensemble", "jlogits_dialogue",
 
 
 def _hash_tokenize(text: str, max_len: int, vocab: int) -> np.ndarray:
-    ids = [(hash(tok) % (vocab - 2)) + 2 for tok in text.lower().split()]
+    """Stable hash-bucket tokenizer (crc32, NOT python hash(): str hashing
+    is salted per interpreter, which would scramble the vocabulary across
+    restarts/resume and across hosts)."""
+    import zlib
+
+    ids = [(zlib.crc32(tok.encode()) % (vocab - 2)) + 2
+           for tok in text.lower().split()]
     ids = ids[:max_len]
     return np.asarray(ids + [0] * (max_len - len(ids)), np.int32)
 

@@ -2,10 +2,11 @@
 text 300-d GloVe sequences, binary).
 
 Data (reference mustard/get_data.py): MultiBench affect ``sarcasm.pkl``;
-empty-text samples dropped; z-normalization; sequences padded/truncated to
-``max_seq_len`` (40).  The reference flags this benchmark as
-not-for-benchmarking due to LSTM convergence issues (mustard/ERROR.md:1) —
-preserved as a warning.
+samples whose text features sum to zero are dropped (drop_entry,
+get_data.py:268-270); sequences end-padded/truncated to ``max_seq_len``
+(40); z-normalization follows the reference default (off).  The reference
+flags this benchmark as not-for-benchmarking due to LSTM convergence
+issues (mustard/ERROR.md:1) — preserved as a warning.
 
 Model: three LstmClassifiers with 3-way logit-mean fusion
 (mustard/joint_model.py:45-83) under the jlogits contract — this is the
@@ -30,10 +31,12 @@ MODEL_TYPES = ("jlogits", "ensemble")
 
 
 def _pad_seq(x: np.ndarray, max_len: int) -> np.ndarray:
+    """Trim/pad to max_len with END padding, matching the reference's
+    F.pad-at-the-end (mustard/get_data.py:189-198, 238-241)."""
     if len(x) >= max_len:
         return x[:max_len]
     return np.concatenate(
-        [np.zeros((max_len - len(x),) + x.shape[1:], x.dtype), x]
+        [x, np.zeros((max_len - len(x),) + x.shape[1:], x.dtype)]
     )
 
 
@@ -43,14 +46,17 @@ def _load_real(path: str, max_seq_len: int):
 
     def build(split):
         d = data[split]
-        vision = np.stack([_pad_seq(np.asarray(v, np.float32), max_seq_len)
-                           for v in d["vision"]])
-        audio = np.stack([_pad_seq(np.asarray(a, np.float32), max_seq_len)
-                          for a in d["audio"]])
-        text = np.stack([_pad_seq(np.asarray(t, np.float32), max_seq_len)
-                         for t in d["text"]])
-        labels = (np.asarray(d["labels"]).reshape(len(vision), -1)[:, 0] > 0
-                  ).astype(np.int32)
+        # drop_entry: remove samples with all-zero text (get_data.py:268-270)
+        keep = [i for i, t in enumerate(d["text"])
+                if np.abs(np.asarray(t)).sum() > 0]
+        vision = np.stack([_pad_seq(np.asarray(d["vision"][i], np.float32),
+                                    max_seq_len) for i in keep])
+        audio = np.stack([_pad_seq(np.asarray(d["audio"][i], np.float32),
+                                   max_seq_len) for i in keep])
+        text = np.stack([_pad_seq(np.asarray(d["text"][i], np.float32),
+                                  max_seq_len) for i in keep])
+        labels = (np.asarray(d["labels"])[keep].reshape(len(keep), -1)[:, 0]
+                  > 0).astype(np.int32)
         for arr in (vision, audio, text):
             arr[~np.isfinite(arr)] = 0
         return ArrayDataset([vision, audio, text], labels)

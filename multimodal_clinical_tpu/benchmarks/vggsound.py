@@ -68,7 +68,7 @@ class VGGSoundDiskDataset:
         return len(self.items)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        from PIL import Image
+        from ..data.imageops import load_frame_eval, load_frame_train
 
         waves, frames, labels = [], [], []
         for i in indices:
@@ -83,23 +83,19 @@ class VGGSoundDiskDataset:
 
             frame_dir = os.path.join(self.data_dir, "frames", clip_id)
             names = sorted(os.listdir(frame_dir))
-            if self.train:
-                picks = self._rng.choice(len(names), self.use_video_frames,
-                                         replace=len(names) <
-                                         self.use_video_frames)
-            else:
-                picks = np.linspace(0, len(names) - 1,
-                                    self.use_video_frames).astype(int)
-            from ..utils.native import decode_jpeg
-
+            # random frame choice in BOTH modes (vggsound/get_data.py:148-152)
+            picks = np.sort(self._rng.choice(
+                len(names), self.use_video_frames,
+                replace=len(names) < self.use_video_frames))
             fs = []
             for p in picks:
                 fpath = os.path.join(frame_dir, names[int(p)])
-                arr = decode_jpeg(fpath, 224, 224)  # native libjpeg path
-                if arr is None:
-                    img = Image.open(fpath).convert("RGB").resize((224, 224))
-                    arr = np.asarray(img, np.float32) / 255.0
-                fs.append(arr)
+                # reference transforms (get_data.py:131-143): train
+                # RandomResizedCrop+flip, eval Resize; ImageNet normalize
+                if self.train:
+                    fs.append(load_frame_train(fpath, self._rng))
+                else:
+                    fs.append(load_frame_eval(fpath))
             frames.append(np.stack(fs))
             labels.append(label)
         return {
@@ -111,18 +107,25 @@ class VGGSoundDiskDataset:
         }
 
 
-def _read_csv_items(data_dir: str, csv_name: str, split: str):
-    items, classes = [], {}
+def _read_csv_items(data_dir: str, csv_name: str, split: str,
+                    class_map: dict):
+    """Rows of one split mapped through a SHARED class map.  The reference
+    derives class ids from the train split and maps both splits through it
+    (vggsound/get_data.py:88-101); the map is grown in train-row order."""
+    items = []
     path = os.path.join(data_dir, csv_name)
     with open(path) as f:
         for row in csv.reader(f):
             if len(row) < 4 or row[3] != split:
                 continue
             clip_id, cls = f"{row[0]}_{row[1]}", row[2]
-            classes.setdefault(cls, len(classes))
+            if split == "train":
+                class_map.setdefault(cls, len(class_map))
+            if cls not in class_map:
+                continue
             if os.path.exists(os.path.join(data_dir, "audio",
                                            clip_id + ".wav")):
-                items.append((clip_id, classes[cls]))
+                items.append((clip_id, class_map[cls]))
     return items
 
 
@@ -132,12 +135,15 @@ def get_data(args) -> DataBundle:
     if os.path.exists(csv_path):
         seed = int(getattr(args, "seed", 0))
         nframes = int(getattr(args, "use_video_frames", 4))
-        train = VGGSoundDiskDataset(
-            data_dir, _read_csv_items(data_dir, "vggsound.csv", "train"),
-            True, nframes, seed)
-        test = VGGSoundDiskDataset(
-            data_dir, _read_csv_items(data_dir, "vggsound.csv", "test"),
-            False, nframes, seed)
+        class_map: dict = {}
+        train_items = _read_csv_items(data_dir, "vggsound.csv", "train",
+                                      class_map)
+        test_items = _read_csv_items(data_dir, "vggsound.csv", "test",
+                                     class_map)
+        train = VGGSoundDiskDataset(data_dir, train_items, True, nframes,
+                                    seed)
+        test = VGGSoundDiskDataset(data_dir, test_items, False, nframes,
+                                   seed)
         val = test  # reference quirk: val IS test (vggsound/get_data.py:180-185)
         synthetic = False
     else:

@@ -50,7 +50,6 @@ class ModelSpec:
     qmf_ablate_train: bool = False  # qmf_ablate: train plain jlogits, eval df
     qmf_drop_joint: bool = False    # ablate_Ljoint: loss_joint = 0
     qmf_drop_unimodal: bool = False  # ablate_Lunimodal: drop sum of L_uni
-    use_qmf_reg: bool = False       # lreg variants add reg even without df loss
 
     # --- VICReg (enrico/ensemble_model_vicreg.py:151) ---
     vicreg_weight: float = 0.0
@@ -82,7 +81,7 @@ class ModelSpec:
             raise ValueError(f"unknown contract {base!r}")
         if self.contract == "qmf" and self.n_train_samples <= 0:
             raise ValueError("qmf contract requires n_train_samples")
-        if self.contract in ("qmf",) or self.use_qmf_reg:
+        if self.contract == "qmf":
             self.use_idx = True
         if self.contract == "ogm_ge":
             self.apply_grad_mod = True

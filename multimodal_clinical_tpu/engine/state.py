@@ -96,7 +96,7 @@ def create_train_state(
     ema = jnp.zeros((spec.num_modality, num_classes), jnp.float32)
 
     qmf_corr = qmf_conf = None
-    if spec.contract == "qmf" or spec.use_qmf_reg:
+    if spec.contract == "qmf":
         qmf_corr, qmf_conf = init_history(spec.num_modality, spec.n_train_samples)
 
     return TrainState(

@@ -91,6 +91,13 @@ int jpeg_dims(const uint8_t* data, int64_t len, int32_t* h, int32_t* w) {
 // [0,1] HWC into out (out_h*out_w*3 floats).  Returns 0 on success.
 int decode_jpeg_resize(const uint8_t* data, int64_t len, int32_t out_h,
                        int32_t out_w, float* out) {
+  // The vectors are declared BEFORE setjmp so a libjpeg error longjmp never
+  // crosses their construction — destructors run on the normal return after
+  // setjmp fires (UB/leak otherwise).
+  std::vector<uint8_t> pixels;
+  std::vector<uint8_t> row;
+  int sh = 0, sw = 0;
+
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -117,11 +124,11 @@ int decode_jpeg_resize(const uint8_t* data, int64_t len, int32_t out_h,
   cinfo.scale_denom = denom;
   jpeg_start_decompress(&cinfo);
 
-  const int sw = cinfo.output_width;
-  const int sh = cinfo.output_height;
+  sw = cinfo.output_width;
+  sh = cinfo.output_height;
   const int comps = cinfo.output_components;  // 3 after JCS_RGB
-  std::vector<uint8_t> pixels((size_t)sw * sh * 3);
-  std::vector<uint8_t> row((size_t)sw * comps);
+  pixels.resize((size_t)sw * sh * 3);
+  row.resize((size_t)sw * comps);
   JSAMPROW rowptr = row.data();
   for (int y = 0; y < sh; ++y) {
     jpeg_read_scanlines(&cinfo, &rowptr, 1);
