@@ -1,0 +1,114 @@
+"""Real-data adapter regressions driven over fabricated on-disk corpora."""
+
+import csv
+import os
+import pickle
+import wave
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from types import SimpleNamespace
+
+
+def _write_wav(path, seconds=1, sr=16000):
+    pcm = (np.sin(np.linspace(0, 440, sr * seconds)) * 20000).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def _write_frames(dir_path, n, size=(64, 48)):
+    os.makedirs(dir_path, exist_ok=True)
+    w, h = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n):
+        # textured gradient so crops are distinguishable from resizes
+        arr = np.stack([
+            np.full((h, w), 10 * i),
+            (255 * xx / max(w - 1, 1)),
+            (255 * yy / max(h - 1, 1)),
+        ], axis=-1).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(dir_path, f"f{i:03d}.jpg"))
+
+
+def test_vggsound_shared_class_map_across_splits(tmp_path):
+    """Train and test rows of the same class string must get the SAME id
+    even when first-occurrence order differs between splits (the reference
+    maps both splits through the train-derived dict,
+    vggsound/get_data.py:88-101)."""
+    from multimodal_clinical_tpu.benchmarks import vggsound
+
+    d = tmp_path
+    rows = [
+        ("vidA", "0", "dog", "train"),
+        ("vidB", "0", "cat", "train"),
+        # test split lists cat BEFORE dog — per-split maps would swap ids
+        ("vidC", "0", "cat", "test"),
+        ("vidD", "0", "dog", "test"),
+    ]
+    with open(d / "vggsound.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    os.makedirs(d / "audio")
+    for clip, start, _, _ in rows:
+        _write_wav(d / "audio" / f"{clip}_{start}.wav")
+        _write_frames(str(d / "frames" / f"{clip}_{start}"), 3)
+
+    args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,
+                           use_video_frames=2, model_type="jprobas")
+    bundle = vggsound.get_data(args)
+    train_map = dict(zip([c for c, _ in bundle.train.items],
+                         bundle.train.labels))
+    test_map = dict(zip([c for c, _ in bundle.test.items],
+                        bundle.test.labels))
+    assert train_map["vidA_0"] == test_map["vidD_0"]  # dog == dog
+    assert train_map["vidB_0"] == test_map["vidC_0"]  # cat == cat
+    assert train_map["vidA_0"] != train_map["vidB_0"]
+
+    batch = bundle.train.gather(np.array([0, 1]))
+    assert batch["x1_waveform"].shape == (2, 80000)
+    assert batch["x2"].shape == (2, 2, 224, 224, 3)
+    # ImageNet normalization applied (values not confined to [0, 1])
+    assert batch["x2"].min() < -0.5
+
+
+def test_ave_loads_six_distinct_frames(tmp_path):
+    from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
+
+    d = tmp_path
+    os.makedirs(d / "audio_spec")
+    with open(d / "audio_spec" / "clip.pkl", "wb") as f:
+        pickle.dump(np.zeros((257, 1004), np.float32), f)
+    _write_frames(str(d / "image" / "clip"), 8)
+
+    ds = AveDiskDataset(str(d), [("clip", 0)], train=False, seed=0)
+    batch = ds.gather(np.array([0]))
+    frames = batch["x2"][0]
+    assert frames.shape == (6, 224, 224, 3)
+    # 6 DISTINCT frames (each f{i}.jpg has a different red level)
+    reds = [float(frames[i, :, :, 0].mean()) for i in range(6)]
+    assert len({round(r, 3) for r in reds}) == 6
+
+
+def test_cremad_train_vs_eval_transforms(tmp_path):
+    from multimodal_clinical_tpu.benchmarks.cremad import CremadDiskDataset
+
+    d = tmp_path
+    os.makedirs(d / "audio_spec")
+    with open(d / "audio_spec" / "clip.pkl", "wb") as f:
+        pickle.dump(np.zeros((64, 80), np.float32), f)
+    _write_frames(str(d / "image" / "clip"), 3, size=(300, 260))
+
+    train_ds = CremadDiskDataset(str(d), [("clip", 1)], train=True, seed=0)
+    eval_ds = CremadDiskDataset(str(d), [("clip", 1)], train=False, seed=0)
+    tb = train_ds.gather(np.array([0]))
+    eb = eval_ds.gather(np.array([0]))
+    assert tb["x2"].shape == eb["x2"].shape == (1, 3, 224, 224, 3)
+    # eval is deterministic, train is stochastically cropped
+    eb2 = CremadDiskDataset(str(d), [("clip", 1)], train=False,
+                            seed=9).gather(np.array([0]))
+    np.testing.assert_allclose(eb["x2"], eb2["x2"], atol=1e-6)
+    assert not np.allclose(tb["x2"], eb["x2"], atol=1e-3)
