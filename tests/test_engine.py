@@ -153,7 +153,8 @@ def test_cremad_model_types_compile_one_step(tmp_path):
 
 
 def test_enrico_variants_compile_one_step(tmp_path):
-    for model_type in ("jlogits", "ensemble", "ensemble_vicreg"):
+    for model_type in ("jlogits", "ensemble", "ensemble_vicreg",
+                       "jlogits_counts"):
         args = make_args(ckpt_dir=str(tmp_path / model_type), num_classes=4,
                          model_type=model_type, batch_size=8, num_epochs=1)
         from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
