@@ -191,3 +191,15 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     b = np.asarray(jax.tree_util.tree_leaves(restored.params)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_multiseed_with_qmf_history_tables():
+    """vmapped multi-seed training with per-seed QMF history state."""
+    from multimodal_clinical_tpu.engine.multiseed import run_multiseed
+    from multimodal_clinical_tpu.benchmarks import mimic
+
+    args = make_args(num_classes=6, model_type="qmf", num_epochs=1,
+                     batch_size=16, learning_rate=0.05)
+    summary = run_multiseed(args, mimic, seeds=[0, 1])
+    assert "test_epoch/test_avg_df_acc" in summary
+    assert "test_epoch/test_avg_df_acc_std" in summary

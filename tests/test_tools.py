@@ -66,3 +66,23 @@ def test_check_frames_and_fix_missing(tmp_path, capsys):
                      "--data-root", str(data_root), "--out", str(out_csv)])
     rows = list(csv.reader(open(out_csv)))
     assert rows == [["a", "cls1"]]
+
+
+def test_noise_sweep_writes_reference_artifact_shapes(tmp_path, monkeypatch):
+    import noise_sweep
+
+    # shrink the synthetic enrico geometry for speed
+    import multimodal_clinical_tpu.data.synthetic as syn
+    monkeypatch.setitem(syn.BENCHMARK_SHAPES, "enrico",
+                        [(32, 16, 3), (32, 16, 3)])
+    noise_sweep.main([
+        "--mode", "x1", "--probs", "0", "0.5",
+        "--model-types", "jlogits",
+        "--num-seeds", "2", "--num-epochs", "1",
+        "--out-dir", str(tmp_path),
+    ])
+    for name in ("data.csv", "data_x1.csv", "data_x2.csv"):
+        rows = list(csv.reader(open(tmp_path / name)))
+        assert rows[0] == ["noise_p", "jlogits_acc", "jlogits_std"]
+        assert len(rows) == 3  # header + 2 probabilities
+        float(rows[1][1])
