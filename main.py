@@ -28,7 +28,10 @@ def run_training(argv=None):
         seeds = list(range(int(args.seed), int(args.seed) + num_seeds))
         summary = run_multiseed(args, benchmark, seeds)
     else:
-        summary = run_benchmark(args, benchmark)
+        # --set profile_dir=/path captures a jax.profiler trace of epoch 1
+        summary = run_benchmark(args, benchmark,
+                                profile_dir=getattr(args, "profile_dir",
+                                                    None))
     print({k: round(v, 4) for k, v in summary.items()})
     return summary
 

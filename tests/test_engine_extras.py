@@ -203,3 +203,23 @@ def test_multiseed_with_qmf_history_tables():
     summary = run_multiseed(args, mimic, seeds=[0, 1])
     assert "test_epoch/test_avg_df_acc" in summary
     assert "test_epoch/test_avg_df_acc_std" in summary
+
+
+def test_loader_propagates_producer_errors():
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+
+    class BrokenDataset:
+        labels = np.zeros(8, np.int32)
+
+        def __len__(self):
+            return 8
+
+        def gather(self, indices):
+            raise RuntimeError("disk exploded")
+
+    loader = Loader(BrokenDataset(), 4, SequentialSampler(8))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="disk exploded"):
+        list(loader)
