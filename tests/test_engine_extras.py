@@ -223,3 +223,17 @@ def test_loader_propagates_producer_errors():
 
     with _pytest.raises(RuntimeError, match="disk exploded"):
         list(loader)
+
+
+def test_profiler_trace_capture(tmp_path):
+    from multimodal_clinical_tpu.engine.run import run_benchmark
+
+    args = make_args(num_epochs=2, batch_size=16, ckpt_dir=str(tmp_path))
+    run_benchmark(avmnist, None) if False else None
+    summary = run_benchmark(args, avmnist,
+                            profile_dir=str(tmp_path / "trace"))
+    assert "test_epoch/test_avg_acc" in summary
+    import glob
+
+    files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    assert any(f.endswith((".pb", ".json.gz")) for f in files), files
