@@ -229,7 +229,6 @@ def test_profiler_trace_capture(tmp_path):
     from multimodal_clinical_tpu.engine.run import run_benchmark
 
     args = make_args(num_epochs=2, batch_size=16, ckpt_dir=str(tmp_path))
-    run_benchmark(avmnist, None) if False else None
     summary = run_benchmark(args, avmnist,
                             profile_dir=str(tmp_path / "trace"))
     assert "test_epoch/test_avg_acc" in summary

@@ -86,3 +86,21 @@ def test_noise_sweep_writes_reference_artifact_shapes(tmp_path, monkeypatch):
         assert rows[0] == ["noise_p", "jlogits_acc", "jlogits_std"]
         assert len(rows) == 3  # header + 2 probabilities
         float(rows[1][1])
+
+
+def test_food101_tokens_pixel_path(tmp_path):
+    from PIL import Image
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    Image.new("RGB", (300, 200), (120, 30, 60)).save(img_root / "dish.jpg")
+    list_file = tmp_path / "list.tsv"
+    list_file.write_text("dish.jpg\tdelicious synthetic dish\n")
+    out = tmp_path / "tokens"
+    preprocess.main(["food101-tokens", "--list-file", str(list_file),
+                     "--image-root", str(img_root), "--out", str(out),
+                     "--tokenizer", "/nonexistent"])
+    px = np.load(out / "dish_pixel_values.npy")
+    # reference stores CHW with the SigLIP 0.5/0.5 normalization
+    assert px.shape == (1, 3, 224, 224)
+    assert -1.01 <= px.min() and px.max() <= 1.01
