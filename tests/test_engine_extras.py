@@ -128,31 +128,64 @@ def test_init_ckpt_warm_start(tmp_path):
 
 
 def test_scan_dispatch_matches_single_steps(tmp_path):
-    """K-steps-per-dispatch must produce exactly the same training math."""
+    """K-steps-per-dispatch must produce exactly the same training math.
+
+    Compares one scan-of-4 dispatch against 4 sequential raw train steps on
+    IDENTICAL state and batches.  (A previous version compared end-of-epoch
+    params across two Trainer.fit runs — that comparison is chaotic: f32
+    reassociation differences between the scanned and unrolled XLA programs
+    flip ReLU gates and compound over 16 SGD steps, so it flaked at ~1e-2
+    depending on host threading.  One dispatch group at step level is the
+    actual semantic claim and is numerically stable.)
+    """
     import jax
+    from multimodal_clinical_tpu.engine.steps import (
+        make_scan_train_step, make_train_step,
+    )
 
-    def run(steps_per_dispatch):
-        args = make_args(num_epochs=1, batch_size=16,
-                         ckpt_dir=str(tmp_path / f"k{steps_per_dispatch}"))
-        args.steps_per_dispatch = steps_per_dispatch
-        trainer, _ = build_trainer(avmnist, args)
-        trainer.fit()
-        params = jax.tree_util.tree_leaves(trainer.state.params)
-        return trainer.history[-1], [np.asarray(p) for p in params]
+    args = make_args(num_epochs=1, batch_size=16, ckpt_dir=str(tmp_path))
+    mesh = make_mesh()
+    data = avmnist.get_data(args)
+    spec, opt_kwargs = avmnist.get_model_spec(args, n_train=len(data.train))
+    state0 = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
 
-    hist1, params1 = run(1)
-    hist4, params4 = run(4)
-    # scan vs unrolled programs reassociate bf16 reductions differently;
-    # the math is the same K sequential steps, so differences stay at
-    # compiler-rounding scale
-    assert abs(hist1["train_epoch/train_avg_loss"]
-               - hist4["train_epoch/train_avg_loss"]) < 1e-2
-    assert abs(hist1["val_epoch/val_avg_acc"]
-               - hist4["val_epoch/val_avg_acc"]) < 0.1
-    # param trajectories diverge at bf16-rounding scale and compound over
-    # the 16 SGD steps; assert they stay in the same neighborhood
-    for a, b in zip(params1, params4):
-        np.testing.assert_allclose(a, b, atol=8e-3)
+    train_loader, _, _ = build_loaders(args, data, mesh)
+    batches = []
+    for batch in train_loader:
+        batches.append(batch)
+        if len(batches) == 4:
+            break
+
+    single = make_train_step(spec)
+    s = state0
+    per_step_losses = []
+    for b in batches:
+        s, m = single(s, b)
+        per_step_losses.append(float(m["train_loss"]))
+    params_single = [np.asarray(p)
+                     for p in jax.tree_util.tree_leaves(s.params)]
+
+    # re-init identical state (single() donated its input)
+    state0 = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    scan4 = make_scan_train_step(spec, 4)
+    s4, m4 = scan4(state0, *batches)
+    params_scan = [np.asarray(p)
+                   for p in jax.tree_util.tree_leaves(s4.params)]
+
+    assert int(s4.step) == 4
+    # metrics come back stacked with a leading (K,) axis, one row per step
+    scan_losses = np.asarray(m4["train_loss"])
+    assert scan_losses.shape == (4,)
+    # Step-1 losses match bit-for-bit (same state, same batch => semantic
+    # equivalence); later steps drift at f32 program-rounding scale (~5e-5
+    # by step 4, measured) because the scanned and unrolled XLA programs
+    # fuse differently.  1e-3 is ~20x that drift and ~100x below any
+    # semantic-bug scale (wrong RNG fold / batch order shows up at >1e-2).
+    np.testing.assert_allclose(scan_losses[0], per_step_losses[0], rtol=1e-6)
+    np.testing.assert_allclose(scan_losses, per_step_losses, rtol=1e-3,
+                               atol=1e-4)
+    for a, b in zip(params_single, params_scan):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
 
 
 def test_fakenews_dialogue_three_modality(tmp_path):
