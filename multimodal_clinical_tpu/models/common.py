@@ -100,6 +100,54 @@ class TorchBatchNorm(nn.Module):
         )(x)
 
 
+class FusedBatchNorm(nn.Module):
+    """BatchNorm over all-but-channel axes with the Pallas fused-reduction
+    training path (ops/fused_bn.py) and torch running-stat semantics.
+
+    Variable layout matches ``nn.BatchNorm`` exactly (params ``scale`` /
+    ``bias``; batch_stats ``mean`` / ``var``), so swapping it in keeps param
+    trees, checkpoints, and the OGM-GE conv-only filter stable.
+
+    Divergence fix vs round 1: the running variance update uses torch's
+    UNBIASED estimator (``var * M / (M - 1)``, torch ``_BatchNorm.forward``)
+    rather than flax's biased one; normalization stays biased in both.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[Dtype] = None
+    use_pallas: Optional[bool] = None  # None = auto (TPU backend only)
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fused_bn import batch_norm_inference, batch_norm_train_stats
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        if self.use_running_average:
+            return batch_norm_inference(x, scale, bias, ra_mean.value,
+                                        ra_var.value, self.epsilon)
+        y, mean, var = batch_norm_train_stats(
+            x, scale, bias, self.epsilon, use_pallas=self.use_pallas)
+        if not self.is_initializing():
+            m = x.size // c
+            unbiased = var * (m / max(m - 1, 1))
+            mom = self.momentum
+            ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
+            ra_var.value = mom * ra_var.value + (1.0 - mom) * unbiased
+        return y
+
+
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, C) mean over all spatial dims (NHWC)."""
     return jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))

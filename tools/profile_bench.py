@@ -1,0 +1,162 @@
+"""Capture + parse a jax.profiler trace of the bench train step.
+
+Usage:
+    python tools/profile_bench.py [--steps 3] [--out /tmp/mmct_prof]
+    python tools/profile_bench.py --parse /tmp/mmct_prof   # re-parse only
+
+Aggregates device-op durations by HLO category (conv fwd/dgrad/wgrad,
+fusion kinds, select-and-scatter, ...) from the vm.trace.json.gz the
+profiler writes (no TensorBoard in this image — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(out_dir: str, steps: int) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from types import SimpleNamespace
+
+    from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.zoo import CremadFusionNet
+
+    batch, num_classes = 224, 309
+    rng = np.random.default_rng(0)
+    wave = rng.normal(scale=0.1, size=(batch, 80000)).astype(np.float32)
+    frames = rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32)
+    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=1e-2, num_epochs=60,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(
+        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16),
+        contract="jprobas", device_preprocess=device_preprocess,
+    )
+    spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
+    state = create_train_state(
+        spec, args, jax.random.PRNGKey(0),
+        [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
+        steps_per_epoch=100)
+    batch_dict = {
+        "x1_waveform": jax.device_put(wave),
+        "x2": jax.device_put(frames),
+        "label": jax.device_put(label),
+        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
+        "valid": jax.device_put(np.ones(batch, np.float32)),
+    }
+    train_step = make_train_step(spec)
+    for _ in range(3):
+        state, metrics = train_step(state, batch_dict)
+    float(metrics["train_loss"])  # barrier (tunnel-safe)
+
+    jax.profiler.start_trace(out_dir)
+    for _ in range(steps):
+        state, metrics = train_step(state, batch_dict)
+    float(metrics["train_loss"])
+    jax.profiler.stop_trace()
+    print(f"trace written under {out_dir}")
+
+
+_CATEGORIES = [
+    ("conv wgrad", re.compile(r"conv.*(wgrad|filter_backprop|"
+                              r"backward_filter)|transpose.*conv")),
+    ("conv", re.compile(r"%?(conv|convolution)")),
+    ("select-and-scatter (maxpool bwd)", re.compile(r"select-and-scatter")),
+    ("reduce-window (maxpool fwd)", re.compile(r"reduce-window")),
+    ("pallas", re.compile(r"(custom-call|pallas|tpu_custom_call)")),
+    ("dynamic-update-slice", re.compile(r"dynamic-update-slice")),
+    ("scatter", re.compile(r"scatter")),
+    ("reduce fusion", re.compile(r"fusion.*reduce|reduce")),
+    ("fusion (elementwise etc)", re.compile(r"(fusion|multiply|add|divide|"
+                                            r"subtract|maximum|select|copy|"
+                                            r"bitcast|transpose|broadcast)")),
+]
+
+
+def categorize(name: str) -> str:
+    low = name.lower()
+    for cat, pat in _CATEGORIES:
+        if pat.search(low):
+            return cat
+    return "other"
+
+
+def parse(out_dir: str, top: int = 30) -> None:
+    paths = sorted(glob.glob(os.path.join(
+        out_dir, "**", "*.trace.json.gz"), recursive=True),
+        key=os.path.getmtime)
+    if not paths:
+        raise SystemExit(f"no *.trace.json.gz under {out_dir}")
+    path = paths[-1]
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    # device-op events live on TensorCore pids; host threads have names
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "/device" in n.lower() or "Chip" in n}
+
+    op_tot = collections.Counter()
+    op_cnt = collections.Counter()
+    cat_tot = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        args = e.get("args") or {}
+        lname = (args.get("long_name") or name)
+        dur = float(e.get("dur", 0.0))
+        # skip enclosing module/program events
+        if name.startswith("jit_") or "module" in name.lower():
+            continue
+        op_tot[name] += dur
+        op_cnt[name] += 1
+        cat_tot[categorize(lname if lname else name)] += dur
+        total += dur
+
+    print(f"== {os.path.basename(path)}  device op time total "
+          f"{total / 1e3:.2f} ms ==")
+    print("\n-- by category --")
+    for cat, dur in cat_tot.most_common():
+        print(f"{dur / 1e3:9.2f} ms  {dur / total * 100:5.1f}%  {cat}")
+    print(f"\n-- top {top} ops --")
+    for name, dur in op_tot.most_common(top):
+        print(f"{dur / 1e3:9.2f} ms  x{op_cnt[name]:<4d} "
+              f"{dur / total * 100:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/mmct_prof")
+    ap.add_argument("--parse", metavar="DIR", default=None)
+    ap.add_argument("--top", type=int, default=30)
+    a = ap.parse_args()
+    if a.parse:
+        parse(a.parse, a.top)
+    else:
+        capture(a.out, a.steps)
+        parse(a.out, a.top)
