@@ -181,6 +181,10 @@ class ResNetEncoder(nn.Module):
                      dtype=self.dtype, name="Conv_0")(x)
         x = _BN(not train, self.dtype, self.bn_scale_init)(x)
         x = nn.relu(x)
+        # NOTE: ops/maxpool.py has a gather-based custom backward, but
+        # in-program it measures SLOWER than select-and-scatter (1051 vs
+        # 1428 samples/s on the VGGSound step): the strided slices read
+        # 4x data per tap and saving y breaks XLA's remat plan. Keep XLA's.
         x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
         planes = self.width
         for stage, blocks in enumerate(self.stage_sizes):
