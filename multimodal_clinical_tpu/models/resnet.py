@@ -146,18 +146,21 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Optional[Any] = None
     bn_scale_init: Any = _bn_scale_init
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         identity = x
+        bn = partial(_BN, not train, self.dtype, self.bn_scale_init,
+                     self.bn_fused)
         out = _conv(self.planes, 3, self.stride, self.dtype)(x)
-        out = _BN(not train, self.dtype, self.bn_scale_init)(out)
+        out = bn()(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, self.dtype)(out)
-        out = _BN(not train, self.dtype, self.bn_scale_init)(out)
+        out = bn()(out)
         if self.downsample:
             identity = _conv(self.planes, 1, self.stride, self.dtype)(x)
-            identity = _BN(not train, self.dtype, self.bn_scale_init)(identity)
+            identity = bn()(identity)
         return nn.relu(out + identity)
 
 
@@ -172,6 +175,11 @@ class ResNetEncoder(nn.Module):
     # (1404 vs 1411 samples/s on the VGGSound step) — the stems are not the
     # bottleneck. Kept available; off by default.
     stem_space_to_depth: bool = False
+    # torch-exact running-var semantics (ops/fused_bn.py); the default flax
+    # path stores the BIASED batch var in the running buffer (torch uses the
+    # unbiased estimator) — a ~1/(M-1) relative eval-only divergence,
+    # negligible at real feature-map sizes but visible in strict tests.
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -179,7 +187,8 @@ class ResNetEncoder(nn.Module):
         # stem (torch porting + checkpoints are layout-stable)
         x = StemConv(self.width, space_to_depth=self.stem_space_to_depth,
                      dtype=self.dtype, name="Conv_0")(x)
-        x = _BN(not train, self.dtype, self.bn_scale_init)(x)
+        x = _BN(not train, self.dtype, self.bn_scale_init,
+                self.bn_fused)(x)
         x = nn.relu(x)
         # NOTE: ops/maxpool.py has a gather-based custom backward, but
         # in-program it measures SLOWER than select-and-scatter (1051 vs
@@ -199,6 +208,7 @@ class ResNetEncoder(nn.Module):
                     downsample=down,
                     dtype=self.dtype,
                     bn_scale_init=self.bn_scale_init,
+                    bn_fused=self.bn_fused,
                 )(x, train)
             planes *= 2
         return x

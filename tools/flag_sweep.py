@@ -1,0 +1,107 @@
+"""Sweep per-compile XLA TPU options on the bench train step.
+
+Client-side XLA_FLAGS can't carry TPU-only flags here (the local parser
+dies on unknown flags before the axon tunnel forwards them), but
+``lower().compile(compiler_options=...)`` is proto-backed and forwarded
+per-compile — so options are swept that way.
+
+Usage: python tools/flag_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from types import SimpleNamespace
+
+from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+CANDIDATES = [
+    {},  # baseline
+    {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
+    {"xla_tpu_rwb_fusion": "false"},
+    {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"},
+    {"xla_tpu_licm_size_inflation_ratio": "2.0"},
+    {"xla_tpu_vector_load_fusion_window": "2048"},
+    {"xla_tpu_vector_store_fusion_window": "1024"},
+    {"xla_tpu_order_dot_after_layout": "true"},
+]
+
+
+def build():
+    from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.zoo import CremadFusionNet
+
+    batch, num_classes = 224, 309
+    rng = np.random.default_rng(0)
+    wave = rng.normal(scale=0.1, size=(batch, 80000)).astype(np.float32)
+    frames = rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32)
+    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=1e-2, num_epochs=60,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(
+        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16),
+        contract="jprobas", device_preprocess=device_preprocess)
+    spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
+    state = create_train_state(
+        spec, args, jax.random.PRNGKey(0),
+        [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
+        steps_per_epoch=100)
+    batch_dict = {
+        "x1_waveform": jax.device_put(wave),
+        "x2": jax.device_put(frames),
+        "label": jax.device_put(label),
+        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
+        "valid": jax.device_put(np.ones(batch, np.float32)),
+    }
+    step = make_train_step(spec, jit=False)
+    return step, state, batch_dict
+
+
+def main():
+    step, state0, batch = build()
+    jitted = jax.jit(step)  # no donation: state reused across variants
+    lowered = jitted.lower(state0, batch)
+    for opts in CANDIDATES:
+        tag = ",".join(f"{k.replace('xla_tpu_', '')}={v}"
+                       for k, v in opts.items()) or "baseline"
+        try:
+            compiled = lowered.compile(
+                compiler_options=opts if opts else None)
+        except Exception as e:
+            print(f"{tag:55s} COMPILE-FAIL {repr(e)[:80]}")
+            continue
+        try:
+            st, m = compiled(state0, batch)
+            for _ in range(2):
+                st, m = compiled(st, batch)
+            float(m["train_loss"])
+            tic = time.perf_counter()
+            n = 10
+            for _ in range(n):
+                st, m = compiled(st, batch)
+            float(m["train_loss"])
+            dt = (time.perf_counter() - tic) / n
+            print(f"{tag:55s} {dt * 1e3:7.2f} ms/step "
+                  f"{224 / dt:7.1f} samples/s")
+        except Exception as e:
+            print(f"{tag:55s} RUN-FAIL {repr(e)[:80]}")
+
+
+if __name__ == "__main__":
+    main()
