@@ -43,7 +43,8 @@ def _hash_tokenize(text: str, max_len: int, vocab: int) -> np.ndarray:
 
 
 class FakeNewsDiskDataset:
-    def __init__(self, data_dir: str, tsv: str, max_len: int, vocab: int):
+    def __init__(self, data_dir: str, tsv: str, max_len: int, vocab: int,
+                 args=None):
         import csv as _csv
 
         self.data_dir = data_dir
@@ -57,14 +58,24 @@ class FakeNewsDiskDataset:
                     self.items.append((row.get("clean_title", ""), img,
                                        int(row["6_way_label"])))
         self.labels = np.asarray([l for _, _, l in self.items], np.int32)
-        self._tokenizer = None
-        try:
-            from transformers import BertTokenizerFast
+        # tokenizer priority: native WordPiece over a local vocab.txt
+        # (bert_vocab_path config key or data_dir/vocab.txt) > HF tokenizer
+        # from local files > crc32 hash buckets (documented fallback)
+        from ..data.wordpiece import load_tokenizer
 
-            self._tokenizer = BertTokenizerFast.from_pretrained(
-                "bert-base-uncased", local_files_only=True)
-        except Exception:
-            print("[fakenews] HF tokenizer unavailable; hash tokenizer in use")
+        self._tokenizer = None
+        self._wordpiece = load_tokenizer(
+            args if args is not None
+            else type("A", (), {"data_path": data_dir})())
+        if self._wordpiece is None:
+            try:
+                from transformers import BertTokenizerFast
+
+                self._tokenizer = BertTokenizerFast.from_pretrained(
+                    "bert-base-uncased", local_files_only=True)
+            except Exception:
+                print("[fakenews] no vocab.txt and HF tokenizer "
+                      "unavailable; hash tokenizer in use")
 
     def __len__(self):
         return len(self.items)
@@ -75,7 +86,9 @@ class FakeNewsDiskDataset:
         toks, imgs, labels = [], [], []
         for i in indices:
             text, img_path, label = self.items[int(i)]
-            if self._tokenizer is not None:
+            if self._wordpiece is not None:
+                toks.append(self._wordpiece.encode(text, self.max_len))
+            elif self._tokenizer is not None:
                 enc = self._tokenizer(text, max_length=self.max_len,
                                       truncation=True, padding="max_length")
                 toks.append(np.asarray(enc["input_ids"], np.int32))
@@ -95,9 +108,12 @@ def get_data(args) -> DataBundle:
     with_dialogue = str(getattr(args, "model_type", "")).endswith("_dialogue")
     train_tsv = os.path.join(data_dir, "train.tsv")
     if os.path.exists(train_tsv) and not with_dialogue:
-        train = FakeNewsDiskDataset(data_dir, "train.tsv", max_len, vocab)
-        val = FakeNewsDiskDataset(data_dir, "validate.tsv", max_len, vocab)
-        test = FakeNewsDiskDataset(data_dir, "test.tsv", max_len, vocab)
+        train = FakeNewsDiskDataset(data_dir, "train.tsv", max_len, vocab,
+                                    args)
+        val = FakeNewsDiskDataset(data_dir, "validate.tsv", max_len, vocab,
+                                  args)
+        test = FakeNewsDiskDataset(data_dir, "test.tsv", max_len, vocab,
+                                   args)
         synthetic = False
     else:
         benchmark = "fakenews_dialogue" if with_dialogue else "fakenews"

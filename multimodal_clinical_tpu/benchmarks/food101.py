@@ -15,11 +15,12 @@ Model variants (food101/__init__.py factory):
       modulation is the reference's documented no-op
       (food101/joint_model_ogm_ge.py, SURVEY §2.3)
   qmf — QMF loss over the two head logits (food101/joint_model_qmf.py)
-  jprobas / jprobas_jlogits — legacy frozen ResNet50+BERT variants in the
-      reference (joint_model_proba*.py); served here by the SigLIP backbone
-      under the probas contracts (architecture divergence documented: the
-      legacy torchvision/BERT towers exist only as frozen feature
-      extractors for a superseded data pipeline).
+  jprobas / jprobas_jlogits — the legacy frozen-ResNet50 + frozen-BERT
+      towers (joint_model_proba.py / joint_model_proba_logits.py:30-90):
+      x1 = image (B, 224, 224, 3), x2 = bert-base token ids; StepLR(500,
+      0.75).  Weights port from LOCAL torchvision/HF checkpoints via
+      ``resnet50_weights`` / ``bert_weights`` config keys (zero-egress:
+      random init otherwise, documented divergence for absolute accuracy).
 """
 
 from __future__ import annotations
@@ -32,7 +33,7 @@ import numpy as np
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
 from ..engine.spec import ModelSpec
-from ..models.zoo import Food101FusionNet
+from ..models.zoo import Food101FusionNet, Food101LegacyFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "ogm_ge", "qmf", "jprobas",
                "jprobas_jlogits")
@@ -74,8 +75,13 @@ class Food101DiskDataset:
         }
 
 
+LEGACY_TYPES = ("jprobas", "jprobas_jlogits")
+
+
 def get_data(args) -> DataBundle:
     data_dir = getattr(args, "data_path", "data/food101/")
+    if getattr(args, "model_type", "qmf") in LEGACY_TYPES:
+        return _get_legacy_data(args, data_dir)
     train_txt = os.path.join(data_dir, "my_train_food.txt")
     if os.path.exists(train_txt):
         train = Food101DiskDataset(data_dir, "my_train_food.txt")
@@ -92,6 +98,28 @@ def get_data(args) -> DataBundle:
         synthetic = True
     return DataBundle(train, val, test, train_sampler="random",
                       synthetic=synthetic)
+
+
+def _get_legacy_data(args, data_dir: str) -> DataBundle:
+    """Legacy pipeline (food101/get_data_old.py): raw JPEG + title text
+    tokenized with bert-base-uncased WordPiece.  Real-data path: texts_
+    {split}.csv (image_name, text, food) + images/{split}/<class>/<name>;
+    synthetic twin otherwise."""
+    csv_path = os.path.join(data_dir, "texts_train.csv")
+    if os.path.exists(csv_path):
+        from ..data.food101_legacy import Food101LegacyDiskDataset
+
+        train = Food101LegacyDiskDataset(data_dir, "train", args)
+        val = Food101LegacyDiskDataset(data_dir, "test", args)
+        return DataBundle(train, val, val, train_sampler="weighted",
+                          synthetic=False)
+    print(f"[food101] legacy texts_train.csv not found under {data_dir!r}; "
+          "using synthetic twin")
+    train, val, test = make_synthetic_splits(
+        "food101_legacy", int(args.num_classes),
+        int(getattr(args, "seed", 0)), n_train=128, n_val=32, n_test=32)
+    return DataBundle(train, val, test, train_sampler="weighted",
+                      synthetic=True)
 
 
 def load_pretrained(args, state):
@@ -125,11 +153,20 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     elif model_type == "qmf":
         spec = ModelSpec(module=module, contract="qmf",
                          n_train_samples=n_train, **common)
-    elif model_type in ("jprobas", "jprobas_jlogits"):
+    elif model_type in LEGACY_TYPES:
+        legacy = Food101LegacyFusionNet(
+            num_classes=int(args.num_classes),
+            stage_sizes=tuple(getattr(args, "legacy_stages", (3, 4, 6, 3))),
+            bert_layers=int(getattr(args, "legacy_bert_layers", 12)),
+            bert_width=int(getattr(args, "legacy_bert_width", 768)),
+            bert_heads=int(getattr(args, "legacy_bert_heads", 12)),
+            bert_vocab=int(getattr(args, "legacy_bert_vocab", 30522)),
+        )
+        # StepLR(500, 0.75) — food101/joint_model_proba_logits.py:282
         spec = ModelSpec(
-            module=module, contract="jprobas",
+            module=legacy, contract="jprobas",
             eval_fusion="logits" if model_type == "jprobas_jlogits" else None,
-            **common)
+            sched_step_size=500, sched_gamma=0.75)
     else:
         raise NotImplementedError(f"food101 model_type {model_type!r}")
     return spec, {}

@@ -240,7 +240,12 @@ def make_train_step(spec: ModelSpec, jit: bool = True
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=0) if jit else train_step
+    if not jit:
+        return train_step
+    from ..utils.compile import tpu_compiler_options
+
+    return jax.jit(train_step, donate_argnums=0,
+                   compiler_options=tpu_compiler_options())
 
 
 def make_scan_train_step(spec: ModelSpec, k: int):
@@ -265,7 +270,10 @@ def make_scan_train_step(spec: ModelSpec, k: int):
 
         return jax.lax.scan(body, state, stacked)
 
-    return jax.jit(multi, donate_argnums=0)
+    from ..utils.compile import tpu_compiler_options
+
+    return jax.jit(multi, donate_argnums=0,
+                   compiler_options=tpu_compiler_options())
 
 
 def make_eval_step(spec: ModelSpec, jit: bool = True
@@ -336,4 +344,8 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
                 outputs["loss"] = loss_joint + sum(loss_uni) + loss_reg
         return outputs
 
-    return jax.jit(eval_step) if jit else eval_step
+    if not jit:
+        return eval_step
+    from ..utils.compile import tpu_compiler_options
+
+    return jax.jit(eval_step, compiler_options=tpu_compiler_options())

@@ -214,8 +214,83 @@ class ResNetEncoder(nn.Module):
         return x
 
 
+class BottleneckBlock(nn.Module):
+    """torchvision-style Bottleneck (cremad/backbone.py:213-253): 1x1 ->
+    3x3(stride) -> 1x1(4x), BN after each, projection shortcut on the
+    first block of every stage.  Conv naming Conv_0..Conv_3 / _BN_0.._BN_3
+    (Conv_3/_BN_3 = downsample) for torch_port stability."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Optional[Any] = None
+    bn_scale_init: Any = nn.initializers.ones
+    bn_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        bn = partial(_BN, not train, self.dtype, self.bn_scale_init,
+                     self.bn_fused)
+        identity = x
+        out = _conv(self.planes, 1, 1, self.dtype)(x)
+        out = bn()(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, self.stride, self.dtype)(out)
+        out = bn()(out)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, 1, self.dtype)(out)
+        out = bn()(out)
+        if self.downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, self.dtype)(x)
+            identity = bn()(identity)
+        return nn.relu(out + identity)
+
+
+class BottleneckResNetEncoder(nn.Module):
+    """Bottleneck residual encoder (resnet50/101/152 family), NHWC.
+
+    Mirrors torchvision resnet50 (the food101 legacy image tower,
+    food101/joint_model_proba_logits.py:37) and the reference's own
+    Bottleneck class (cremad/backbone.py:213).  Returns the stage-4
+    feature map (B, h, w, 2048 for width 64).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    in_kernel: int = 7
+    dtype: Optional[Any] = None
+    bn_scale_init: Any = nn.initializers.ones
+    bn_fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = StemConv(self.width, space_to_depth=False,
+                     dtype=self.dtype, name="Conv_0")(x)
+        x = _BN(not train, self.dtype, self.bn_scale_init,
+                self.bn_fused)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        planes = self.width
+        for stage, blocks in enumerate(self.stage_sizes):
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                # torchvision: projection on the FIRST block of every stage
+                # (channel expansion 4x even at stride 1 — stage 0 included)
+                x = BottleneckBlock(
+                    planes,
+                    stride=stride,
+                    downsample=(b == 0),
+                    dtype=self.dtype,
+                    bn_scale_init=self.bn_scale_init,
+                    bn_fused=self.bn_fused,
+                )(x, train)
+            planes *= 2
+        return x
+
+
 # Named constructors mirroring cremad/backbone.py:261-271 (note the reference's
 # "resnet101" is BasicBlock [3,4,23,3], not a true Bottleneck-101 — preserved).
 resnet18_encoder = partial(ResNetEncoder, stage_sizes=(2, 2, 2, 2))
 resnet34_encoder = partial(ResNetEncoder, stage_sizes=(3, 4, 6, 3))
 resnet101_encoder = partial(ResNetEncoder, stage_sizes=(3, 4, 23, 3))
+resnet50_encoder = partial(BottleneckResNetEncoder, stage_sizes=(3, 4, 6, 3))

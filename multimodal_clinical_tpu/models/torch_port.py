@@ -152,6 +152,102 @@ def port_lenet(state_dict, num_blocks: int, prefix: str = ""
     return params, stats
 
 
+def port_bottleneck_encoder(
+    state_dict,
+    torch_prefix: str = "",
+    stage_sizes=(3, 4, 6, 3),
+) -> Tuple[dict, dict]:
+    """torchvision-style Bottleneck ResNet (resnet50/101/152) ->
+    BottleneckResNetEncoder tree.  Names: conv1/bn1 stem, then
+    layer{s}.{b}.conv{1,2,3}/bn{1,2,3}/downsample.{0,1}."""
+    sd = _to_np(state_dict)
+    p = torch_prefix
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst_p: dict, dst_s: dict, key: str, tkey: str):
+        dst_p[key] = {"BatchNorm_0": {
+            "scale": sd[tkey + ".weight"], "bias": sd[tkey + ".bias"]}}
+        dst_s[key] = {"BatchNorm_0": {
+            "mean": sd[tkey + ".running_mean"],
+            "var": sd[tkey + ".running_var"]}}
+
+    params["Conv_0"] = {"kernel": _conv(sd[p + "conv1.weight"])}
+    bn(params, stats, "_BN_0", p + "bn1")
+
+    blk = 0
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            t = f"{p}layer{stage + 1}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            for i in range(3):
+                bp[f"Conv_{i}"] = {
+                    "kernel": _conv(sd[f"{t}.conv{i + 1}.weight"])}
+                bn(bp, bs, f"_BN_{i}", f"{t}.bn{i + 1}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["Conv_3"] = {
+                    "kernel": _conv(sd[t + ".downsample.0.weight"])}
+                bn(bp, bs, "_BN_3", t + ".downsample.1")
+            params[f"BottleneckBlock_{blk}"] = bp
+            stats[f"BottleneckBlock_{blk}"] = bs
+            blk += 1
+    return params, stats
+
+
+def port_bert(state_dict, torch_prefix: str = "", num_layers: int = 12,
+              num_heads: int = 12) -> dict:
+    """HF torch ``BertModel`` state_dict -> models/bert.py BertEncoder
+    params.  Works with ``BertForTokenClassification`` checkpoints too
+    (pass torch_prefix="bert.")."""
+    sd = _to_np(state_dict)
+    p = torch_prefix
+    e = p + "embeddings."
+    params: dict = {
+        "word_embeddings": {
+            "embedding": sd[e + "word_embeddings.weight"]},
+        "position_embeddings": sd[e + "position_embeddings.weight"],
+        "token_type_embeddings": sd[e + "token_type_embeddings.weight"],
+        "embeddings_norm": {"scale": sd[e + "LayerNorm.weight"],
+                            "bias": sd[e + "LayerNorm.bias"]},
+    }
+    width = params["word_embeddings"]["embedding"].shape[1]
+    heads = num_heads
+    head_dim = width // heads
+    for i in range(num_layers):
+        t = f"{p}encoder.layer.{i}."
+        la: dict = {}
+
+        def qkv(name):
+            w = _lin(sd[t + f"attention.self.{name}.weight"])  # (W, W)
+            b = sd[t + f"attention.self.{name}.bias"]
+            return {"kernel": w.reshape(width, heads, head_dim),
+                    "bias": b.reshape(heads, head_dim)}
+
+        la["attention"] = {
+            "query": qkv("query"),
+            "key": qkv("key"),
+            "value": qkv("value"),
+            "out": {
+                "kernel": _lin(sd[t + "attention.output.dense.weight"])
+                .reshape(heads, head_dim, width),
+                "bias": sd[t + "attention.output.dense.bias"],
+            },
+        }
+        la["attention_norm"] = {
+            "scale": sd[t + "attention.output.LayerNorm.weight"],
+            "bias": sd[t + "attention.output.LayerNorm.bias"]}
+        la["intermediate"] = {
+            "kernel": _lin(sd[t + "intermediate.dense.weight"]),
+            "bias": sd[t + "intermediate.dense.bias"]}
+        la["output"] = {"kernel": _lin(sd[t + "output.dense.weight"]),
+                        "bias": sd[t + "output.dense.bias"]}
+        la["output_norm"] = {"scale": sd[t + "output.LayerNorm.weight"],
+                             "bias": sd[t + "output.LayerNorm.bias"]}
+        params[f"layer_{i}"] = la
+    return params
+
+
 def port_torch_linear(weight, bias=None) -> dict:
     out = {"kernel": _lin(np.asarray(weight))}
     if bias is not None:

@@ -146,6 +146,64 @@ class MustardFusionNet(nn.Module):
         return {"logits": [l1, l2, l3]}
 
 
+class Food101LegacyFusionNet(nn.Module):
+    """Legacy food101 towers (food101/joint_model_proba_logits.py:30-90):
+    frozen torchvision-resnet50 image tower with a fresh trainable
+    ``fc`` head, and a frozen BERT-base text tower with a trainable
+    [CLS] classifier.  x1: (B, 224, 224, 3) image; x2: (B, L) int32
+    bert-base-uncased token ids (pad 0).
+
+    ``requires_grad=False`` maps to ``stop_gradient`` on the frozen
+    features; BN running stats / dropout still follow train mode exactly
+    like torch (the reference never calls ``.eval()`` on the frozen
+    towers).  Weights port via ``torch_port.port_bottleneck_encoder`` /
+    ``port_bert`` from local checkpoints (zero-egress environment).
+    """
+
+    num_classes: int
+    # shrinkable geometry for CPU tests; defaults are the real towers
+    stage_sizes: Any = (3, 4, 6, 3)
+    bert_layers: int = 12
+    bert_width: int = 768
+    bert_heads: int = 12
+    bert_vocab: int = 30522
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        import jax
+
+        from .bert import BertClassifier
+        from .resnet import BottleneckResNetEncoder
+
+        class ImageTower(nn.Module):
+            """resnet50 minus fc (frozen) + trainable fc — submodule so the
+            param tree reads x1_model/{features, fc}."""
+
+            num_classes: int
+            stage_sizes: Any
+            dtype: Optional[Any]
+
+            @nn.compact
+            def __call__(self, x, train: bool = True):
+                feats = BottleneckResNetEncoder(
+                    stage_sizes=self.stage_sizes, dtype=self.dtype,
+                    name="features")(x, train)
+                emb = global_avg_pool(feats)
+                emb = jax.lax.stop_gradient(emb)  # frozen backbone
+                return TorchDense(self.num_classes, dtype=self.dtype,
+                                  name="fc")(emb)
+
+        l1 = ImageTower(self.num_classes, self.stage_sizes, self.dtype,
+                        name="x1_model")(x1, train)
+        l2 = BertClassifier(
+            self.num_classes, freeze_backbone=True,
+            num_layers=self.bert_layers, width=self.bert_width,
+            heads=self.bert_heads, vocab_size=self.bert_vocab,
+            dtype=self.dtype, name="x2_model")(x2, train)
+        return {"logits": [l1, l2]}
+
+
 class Food101FusionNet(nn.Module):
     """SigLIP dual tower + MLP heads for Food101 (food101/joint_model.py:26-66).
 

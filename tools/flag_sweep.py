@@ -25,17 +25,21 @@ from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+# round 1 measured (10 iters, v5e): baseline 158.1ms; scoped_vmem 32768
+# -> 153.2, 65536 -> 152.2; experimental_fusion_cost_model REGRESSES
+# (167.0); others neutral.
 CANDIDATES = [
-    {},  # baseline
-    {"xla_tpu_scoped_vmem_limit_kib": "32768"},
     {"xla_tpu_scoped_vmem_limit_kib": "65536"},
-    {"xla_tpu_enable_experimental_fusion_cost_model": "true"},
-    {"xla_tpu_rwb_fusion": "false"},
-    {"xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"},
-    {"xla_tpu_licm_size_inflation_ratio": "2.0"},
-    {"xla_tpu_vector_load_fusion_window": "2048"},
-    {"xla_tpu_vector_store_fusion_window": "1024"},
-    {"xla_tpu_order_dot_after_layout": "true"},
+    {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536",
+     "xla_tpu_rwb_fusion": "false"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536",
+     "xla_tpu_vmem_scavenging_mode": "aggressive"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536",
+     "xla_tpu_use_lp_llo_scheduler": "true"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536",
+     "xla_tpu_enable_multi_level_nested_loop_fusion": "true"},
 ]
 
 
