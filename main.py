@@ -18,6 +18,13 @@ from multimodal_clinical_tpu.engine.run import run_benchmark
 
 def run_training(argv=None):
     args = setup_configs(argv)
+    # multi-host bring-up (no-op unless dist_* config keys are set):
+    # after this, build_loaders shards the input stream per host
+    from multimodal_clinical_tpu.parallel.distributed import (
+        initialize_if_requested,
+    )
+
+    initialize_if_requested(args)
     benchmark = get_benchmark(args.dir)
     num_seeds = int(getattr(args, "num_seeds", 1) or 1)
     if num_seeds > 1:

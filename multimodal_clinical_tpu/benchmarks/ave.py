@@ -21,7 +21,7 @@ import numpy as np
 
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import CremadFusionNet
 from .cremad import CremadDiskDataset
 
@@ -99,7 +99,8 @@ def device_preprocess(batch, rng, train: bool):
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jprobas")
-    module = CremadFusionNet(num_classes=int(args.num_classes))
+    module = CremadFusionNet(num_classes=int(args.num_classes),
+                             dtype=resolve_dtype(args))
     common = dict(sched_step_size=10, sched_gamma=0.5,
                   device_preprocess=device_preprocess)
     if model_type == "jlogits":

@@ -26,7 +26,7 @@ import numpy as np
 from ..data.core import ArrayDataset
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import AVMnistFusionNet
 
 MODEL_TYPES = ("jlogits", "jprobas", "jprobas_jlogits", "ensemble",
@@ -72,7 +72,8 @@ def get_data(args) -> DataBundle:
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
-    module = AVMnistFusionNet(num_classes=int(args.num_classes))
+    module = AVMnistFusionNet(num_classes=int(args.num_classes),
+                              dtype=resolve_dtype(args))
     contract = {
         "jlogits": "jlogits",
         "jprobas": "jprobas",

@@ -28,7 +28,7 @@ import numpy as np
 from ..data.core import ArrayDataset
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import CremadFusionNet
 
 MODEL_TYPES = ("jlogits", "jprobas", "ensemble", "ogm_ge", "ensemble_ogm_ge",
@@ -137,7 +137,8 @@ def get_data(args) -> DataBundle:
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
-    module = CremadFusionNet(num_classes=int(args.num_classes))
+    module = CremadFusionNet(num_classes=int(args.num_classes),
+                             dtype=resolve_dtype(args))
     alpha = float(getattr(args, "alpha", 0.8))
     grad_mod = getattr(args, "grad_mod_type", "OGM_GE")
 

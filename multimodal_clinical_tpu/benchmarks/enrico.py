@@ -35,7 +35,7 @@ import numpy as np
 from ..data.core import ArrayDataset
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import EnricoFusionNet, EnricoVGGFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "ensemble_vicreg", "ensemble_counts",
@@ -171,19 +171,24 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     num_classes = int(args.num_classes)
     dropout_p = float(getattr(args, "dropout_p", 0.2) or 0.2)
     if model_type in ("jlogits", "jlogits_counts"):
-        module = (EnricoVGGFusionNet(num_classes, dropout_p=dropout_p)
+        dt = resolve_dtype(args)
+        module = (EnricoVGGFusionNet(num_classes, dropout_p=dropout_p,
+                                     dtype=dt)
                   if model_type == "jlogits_counts"
-                  else EnricoFusionNet(num_classes, freeze_features=True))
+                  else EnricoFusionNet(num_classes, freeze_features=True,
+                                       dtype=dt))
         spec = ModelSpec(module=module, contract="jlogits",
                          sched_step_size=10, sched_gamma=0.5,
                          track_min_loss_counts=(model_type == "jlogits_counts"))
     elif model_type in ("ensemble", "ensemble_counts"):
-        module = EnricoFusionNet(num_classes, freeze_features=False)
+        module = EnricoFusionNet(num_classes, freeze_features=False,
+                                 dtype=resolve_dtype(args))
         spec = ModelSpec(module=module, contract="ensemble",
                          sched_step_size=70, sched_gamma=0.5,
                          track_min_loss_counts=(model_type == "ensemble_counts"))
     elif model_type == "ensemble_vicreg":
-        module = EnricoFusionNet(num_classes, freeze_features=False)
+        module = EnricoFusionNet(num_classes, freeze_features=False,
+                                 dtype=resolve_dtype(args))
         spec = ModelSpec(module=module, contract="ensemble",
                          vicreg_weight=0.1,
                          sched_step_size=70, sched_gamma=0.5)

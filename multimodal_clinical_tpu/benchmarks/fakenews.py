@@ -23,7 +23,7 @@ import numpy as np
 
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import FakeNewsFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "jlogits_dialogue",
@@ -139,6 +139,7 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         num_classes=int(args.num_classes),
         vocab_size=int(getattr(args, "vocab_size", 30522)),
         with_dialogue=with_dialogue,
+        dtype=resolve_dtype(args),
     )
     num_modality = 3 if with_dialogue else 2
     base = model_type.replace("_dialogue", "")

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import Food101FusionNet, Food101LegacyFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "ogm_ge", "qmf", "jprobas",
@@ -139,7 +139,8 @@ def load_pretrained(args, state):
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "qmf")
-    module = Food101FusionNet(num_classes=int(args.num_classes))
+    module = Food101FusionNet(num_classes=int(args.num_classes),
+                              dtype=resolve_dtype(args))
     common = dict(sched_step_size=50, sched_gamma=0.5)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)

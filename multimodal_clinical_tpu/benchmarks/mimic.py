@@ -31,7 +31,7 @@ import numpy as np
 from ..data.core import ArrayDataset
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
-from ..engine.spec import ModelSpec
+from ..engine.spec import ModelSpec, resolve_dtype
 from ..models.zoo import MimicFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "jprobas", "ogm_ge", "qmf")
@@ -94,7 +94,8 @@ def get_data(args) -> DataBundle:
 
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
-    module = MimicFusionNet(num_classes=int(args.num_classes))
+    module = MimicFusionNet(num_classes=int(args.num_classes),
+                            dtype=resolve_dtype(args))
     common: Dict = {}
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits")

@@ -1,0 +1,100 @@
+"""Host frame transforms: exact ports of the reference's torchvision
+pipelines (cremad/get_data.py:94-109).
+
+train: RandomResizedCrop(224) + RandomHorizontalFlip + ImageNet normalize
+eval:  Resize((224, 224)) + ImageNet normalize
+
+The crop-box sampler reproduces torchvision's RandomResizedCrop parameter
+search (scale (0.08, 1.0), log-uniform ratio (3/4, 4/3), 10 attempts, then
+the clamped center-crop fallback) against a caller-owned numpy Generator so
+a loader's frame stream is deterministic per seed.  Decoding prefers the
+native libjpeg path (utils/native.py) where it applies and falls back to
+PIL.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+_SCALE = (0.08, 1.0)
+_RATIO = (3.0 / 4.0, 4.0 / 3.0)
+
+
+def random_resized_crop_box(rng: np.random.Generator, width: int,
+                            height: int,
+                            scale: Tuple[float, float] = _SCALE,
+                            ratio: Tuple[float, float] = _RATIO
+                            ) -> Tuple[int, int, int, int]:
+    """(left, top, right, bottom) pixel box, torchvision semantics."""
+    area = width * height
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        w = int(round(math.sqrt(target_area * aspect)))
+        h = int(round(math.sqrt(target_area / aspect)))
+        if 0 < w <= width and 0 < h <= height:
+            top = int(rng.integers(0, height - h + 1))
+            left = int(rng.integers(0, width - w + 1))
+            return left, top, left + w, top + h
+    # fallback: center crop at the nearest in-range aspect
+    in_ratio = width / height
+    if in_ratio < ratio[0]:
+        w, h = width, int(round(width / ratio[0]))
+    elif in_ratio > ratio[1]:
+        w, h = int(round(height * ratio[1])), height
+    else:
+        w, h = width, height
+    left = (width - w) // 2
+    top = (height - h) // 2
+    return left, top, left + w, top + h
+
+
+def _normalize(img01: np.ndarray) -> np.ndarray:
+    return ((img01 - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
+def _pil_open(path: str):
+    from PIL import Image
+
+    return Image.open(path).convert("RGB")
+
+
+def load_frame_eval(path: str, size: int = 224) -> np.ndarray:
+    """Resize((size, size)) + normalize — deterministic eval transform.
+
+    Uses the native libjpeg decode-with-resize (DCT-domain downscale) when
+    built; PIL bilinear otherwise.
+    """
+    try:
+        from ..utils import native
+
+        decoded = native.decode_jpeg(path, size, size)
+    except Exception:
+        decoded = None
+    if decoded is None:
+        from PIL import Image
+
+        img = _pil_open(path).resize((size, size), Image.BILINEAR)
+        decoded = np.asarray(img, np.float32) / 255.0
+    return _normalize(decoded)
+
+
+def load_frame_train(path: str, rng: np.random.Generator,
+                     size: int = 224) -> np.ndarray:
+    """RandomResizedCrop(size) + horizontal flip (p=0.5) + normalize."""
+    from PIL import Image
+
+    img = _pil_open(path)
+    box = random_resized_crop_box(rng, img.width, img.height)
+    img = img.resize((size, size), Image.BILINEAR, box=box)
+    out = np.asarray(img, np.float32) / 255.0
+    if rng.random() < 0.5:
+        out = out[:, ::-1]
+    return _normalize(out)

@@ -1,0 +1,134 @@
+"""Prefetching batch loader: host gather -> pad to fixed shape -> device.
+
+The TPU-native replacement for the reference's torch DataLoader
+(cremad/run_trainer.py:41-49): instead of per-item worker processes +
+collate, the loader asks the dataset for a whole batch at once
+(``dataset.gather(indices)``), pads the tail batch to the static batch
+size with a ``valid`` mask (XLA programs want fixed shapes; the reference
+simply ships a smaller last batch), attaches the global sample ``idx``
+stream (QMF's History addressing, existing_algos/QMF.py:20-29), and
+overlaps the next batch's host work + H2D transfer with the current
+device step via a background producer thread.
+
+``workers > 1`` splits each batch's gather across a thread pool — only
+safe for datasets whose ``gather`` is thread-safe/stateless (the in-memory
+``ArrayDataset`` twins and any disk dataset using per-index rng); the
+default of 1 preserves exact gather order and stateful-rng determinism.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], idx: np.ndarray,
+               batch_size: int, valid_n: int) -> Dict[str, np.ndarray]:
+    out = {}
+    for key, arr in batch.items():
+        arr = np.asarray(arr)
+        if valid_n < batch_size:
+            # repeat the last real row: keeps padded rows in-distribution
+            # (they still flow through train-mode BN) while 'valid' masks
+            # them out of every loss/metric/History update
+            pad = np.repeat(arr[-1:], batch_size - valid_n, axis=0)
+            arr = np.concatenate([arr, pad], axis=0)
+        out[key] = arr
+    valid = np.zeros(batch_size, np.float32)
+    valid[:valid_n] = 1.0
+    out["idx"] = idx.astype(np.int32)
+    out["valid"] = valid
+    return out
+
+
+class Loader:
+    """Iterates device-ready fixed-shape batch dicts.
+
+    With ``mesh`` set, batches are placed with the batch axis sharded over
+    the mesh's data axis (one H2D per device shard); otherwise they are
+    committed to the default device.
+    """
+
+    def __init__(self, dataset, batch_size: int, sampler, mesh=None,
+                 prefetch: int = 2, workers: int = 1):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.sampler = sampler
+        self.mesh = mesh
+        self.prefetch = max(1, int(prefetch))
+        self.workers = max(1, int(workers))
+        self._epoch = 0
+        self._sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self._sharding = batch_sharding(mesh)
+        self._pool: Optional[ThreadPoolExecutor] = None
+        if self.workers > 1:
+            self._pool = ThreadPoolExecutor(max_workers=self.workers,
+                                            thread_name_prefix="loader")
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return -(-len(self.sampler) // self.batch_size)
+
+    # -- host side -----------------------------------------------------
+    def _gather(self, chunk: np.ndarray) -> Dict[str, np.ndarray]:
+        if self._pool is None or len(chunk) < 2 * self.workers:
+            return self.dataset.gather(chunk)
+        parts = np.array_split(chunk, self.workers)
+        futs = [self._pool.submit(self.dataset.gather, p) for p in parts
+                if len(p)]
+        results = [f.result() for f in futs]
+        return {k: np.concatenate([r[k] for r in results], axis=0)
+                for k in results[0]}
+
+    def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        idxs = np.asarray(self.sampler.indices(self._epoch))
+        bs = self.batch_size
+        for start in range(0, len(idxs), bs):
+            chunk = idxs[start:start + bs]
+            valid_n = len(chunk)
+            idx_padded = chunk if valid_n == bs else np.concatenate(
+                [chunk, np.repeat(chunk[-1:], bs - valid_n)])
+            # gather only the real rows; _pad_batch repeats the last row
+            yield _pad_batch(self._gather(chunk), idx_padded, bs, valid_n)
+
+    # -- device side ---------------------------------------------------
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self._sharding is not None:
+            return {k: jax.device_put(v, self._sharding)
+                    for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END, _ERR = object(), object()
+
+        def produce():
+            try:
+                for host_batch in self._host_batches():
+                    q.put(self._put(host_batch))
+            except BaseException as exc:  # re-raised on the consumer side
+                q.put((_ERR, exc))
+            else:
+                q.put(_END)
+
+        # daemon: an abandoned iterator (consumer breaks early) must not
+        # block interpreter exit on a full queue
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item

@@ -8,13 +8,21 @@ calibration, QMF history — so training can also *resume* exactly, which the
 reference cannot do (SURVEY §5.4: "No mid-epoch resume, no optimizer-state
 restore usage").
 
-Serialization uses Orbax when available (async-capable, the JAX-native
-standard) and falls back to flax msgpack otherwise.
+Backends:
+  * ``orbax`` (default when importable): async saves via
+    ``ocp.AsyncCheckpointer`` — serialization runs on a background thread
+    so the epoch loop never blocks on disk — plus step-stamped rolling
+    checkpoints with garbage collection (``keep_last``).
+  * ``msgpack``: synchronous flax serialization, zero extra deps,
+    byte-exact round trip including python-tuple optimizer states.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import re
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -41,29 +49,69 @@ def tree_into_state(state: TrainState, tree: Dict[str, Any]) -> TrainState:
     return state.replace(**tree)
 
 
-class BestCheckpointer:
-    """Keeps the single best checkpoint by a max-metric (val_epoch/val_avg_acc)."""
+def _default_backend() -> str:
+    try:
+        import orbax.checkpoint  # noqa: F401
 
-    def __init__(self, ckpt_dir: str, backend: str = "msgpack") -> None:
-        # Default backend is flax msgpack: byte-exact round trip of the full
-        # state INCLUDING python-tuple optimizer states (orbax restores
-        # tuples as lists, which breaks structure-matched tree_map; the
-        # orbax path conforms the restored tree to the live template).
-        self.ckpt_dir = ckpt_dir
+        return "orbax"
+    except Exception:
+        return "msgpack"
+
+
+class BestCheckpointer:
+    """Keeps the best checkpoint by a max-metric plus a GC'd rolling tail.
+
+    ``backend="auto"`` (the default) picks orbax when importable —
+    the TPU-native standard: async save, directory format — and msgpack
+    otherwise.  Both write the same logical layout:
+
+        <ckpt_dir>/best            top-1 on the tracked metric
+        <ckpt_dir>/last-<step>     rolling exact-resume checkpoints,
+                                   pruned to ``keep_last``
+        <ckpt_dir>/meta.json       best-metric bookkeeping
+    """
+
+    def __init__(self, ckpt_dir: str, backend: str = "auto",
+                 keep_last: int = 2) -> None:
+        # orbax/tensorstore requires absolute paths
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.best_metric: float = float("-inf")
         self.best_path: Optional[str] = None
+        self.keep_last = max(1, int(keep_last))
         os.makedirs(ckpt_dir, exist_ok=True)
+        if backend == "auto":
+            backend = _default_backend()
+        self.backend = backend
         self._orbax = None
         if backend == "orbax":
             import orbax.checkpoint as ocp  # type: ignore
 
-            self._orbax = ocp.PyTreeCheckpointer()
+            try:
+                self._orbax = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+            except Exception:  # older orbax: synchronous fallback
+                self._orbax = ocp.PyTreeCheckpointer()
+            atexit.register(self._wait_quiet)
+
+    # -- async plumbing --------------------------------------------------
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed.  Re-raises
+        a failed async save — silently losing checkpoints is worse than
+        crashing the epoch loop."""
+        if self._orbax is not None and hasattr(self._orbax,
+                                               "wait_until_finished"):
+            self._orbax.wait_until_finished()
+
+    def _wait_quiet(self) -> None:
+        try:
+            self.wait()
+        except Exception:
+            pass  # interpreter teardown: nothing actionable
 
     def _save(self, path: str, tree: Dict[str, Any]) -> None:
         host_tree = jax.tree_util.tree_map(np.asarray, tree)
         if self._orbax is not None:
-            import shutil
-
+            self.wait()  # one in-flight save at a time
             if os.path.exists(path):
                 shutil.rmtree(path)
             self._orbax.save(path, host_tree)
@@ -72,6 +120,7 @@ class BestCheckpointer:
                 f.write(serialization.to_bytes(host_tree))
 
     def _restore(self, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+        self.wait()
         if self._orbax is not None and os.path.isdir(path):
             restored = self._orbax.restore(path)
             # conform structure (orbax turns tuples into lists) and dtypes
@@ -86,6 +135,10 @@ class BestCheckpointer:
         with open(path + ".msgpack", "rb") as f:
             return serialization.from_bytes(template, f.read())
 
+    def _exists(self, path: str) -> bool:
+        return os.path.isdir(path) or os.path.exists(path + ".msgpack")
+
+    # -- metadata ---------------------------------------------------------
     def _write_meta(self) -> None:
         import json
 
@@ -100,6 +153,7 @@ class BestCheckpointer:
             with open(path) as f:
                 self.best_metric = float(json.load(f)["best_metric"])
 
+    # -- public API --------------------------------------------------------
     def maybe_save(self, state: TrainState, metric: float) -> bool:
         """Save iff ``metric`` improves on the best so far; returns True if saved."""
         if metric <= self.best_metric:
@@ -111,18 +165,47 @@ class BestCheckpointer:
         self._write_meta()
         return True
 
+    def _last_candidates(self):
+        """[(step, path)] of rolling checkpoints, oldest first.  Includes
+        the un-stamped legacy name 'last' (step -1) for back-compat."""
+        out = []
+        for name in os.listdir(self.ckpt_dir):
+            stem = name[:-len(".msgpack")] if name.endswith(".msgpack") else name
+            m = re.fullmatch(r"last-(\d+)", stem)
+            if m:
+                out.append((int(m.group(1)),
+                            os.path.join(self.ckpt_dir, stem)))
+            elif stem == "last":
+                out.append((-1, os.path.join(self.ckpt_dir, stem)))
+        return sorted(set(out))
+
     def save_last(self, state: TrainState) -> str:
-        path = os.path.join(self.ckpt_dir, "last")
+        """Step-stamped rolling checkpoint; prunes beyond ``keep_last``."""
+        step = int(jax.device_get(state.step))
+        path = os.path.join(self.ckpt_dir, f"last-{step}")
         self._save(path, state_to_tree(state))
+        # GC: drop the oldest rolling checkpoints (never touches 'best').
+        # The just-saved path may still be in flight (async) and absent from
+        # the listing — count it explicitly and prune the older ones.
+        candidates = [p for _, p in self._last_candidates() if p != path]
+        keep_prior = self.keep_last - 1
+        stale_list = candidates[:-keep_prior] if keep_prior else candidates
+        for stale in stale_list:
+            self.wait()
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            elif os.path.exists(stale + ".msgpack"):
+                os.remove(stale + ".msgpack")
         return path
 
     def restore_last(self, state: TrainState) -> Optional[TrainState]:
-        """Restore the full state from the rolling 'last' checkpoint for
+        """Restore the full state from the newest rolling checkpoint for
         exact training resume (params, BN stats, optimizer buffers, EMA,
         QMF history, step counter). None if no checkpoint exists."""
-        path = os.path.join(self.ckpt_dir, "last")
-        if not (os.path.isdir(path) or os.path.exists(path + ".msgpack")):
+        candidates = self._last_candidates()
+        if not candidates:
             return None
+        path = candidates[-1][1]
         template = jax.tree_util.tree_map(np.asarray, state_to_tree(state))
         tree = self._restore(path, template)
         self._read_meta()
@@ -131,7 +214,7 @@ class BestCheckpointer:
     def restore_best(self, state: TrainState) -> TrainState:
         if self.best_path is None:
             candidate = os.path.join(self.ckpt_dir, "best")
-            if os.path.isdir(candidate) or os.path.exists(candidate + ".msgpack"):
+            if self._exists(candidate):
                 self.best_path = candidate
             else:
                 return state

@@ -35,27 +35,45 @@ class DataBundle:
     synthetic: bool = False
 
 
-def _make_sampler(kind: str, dataset, seed: int):
+def _make_sampler(kind: str, dataset, seed: int, process_index: int = 0,
+                  process_count: int = 1):
+    proc = dict(process_index=process_index, process_count=process_count)
     if kind == "weighted":
-        return WeightedSampler(dataset.labels, seed=seed)
+        return WeightedSampler(dataset.labels, seed=seed, **proc)
     if kind == "random":
-        return RandomSampler(len(dataset), seed=seed)
-    return SequentialSampler(len(dataset))
+        return RandomSampler(len(dataset), seed=seed, **proc)
+    return SequentialSampler(len(dataset), **proc)
 
 
 def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]:
+    """Per-split loaders.  Multi-host: every process derives the same
+    global per-epoch index stream and loads only its strided shard
+    (``stream[process_index::process_count]``) — the per-host input
+    sharding the reference lists as a TODO (vggsound/vggsound.yaml:1).
+    Each process feeds ``batch_size / process_count`` rows per step; the
+    data-axis sharding assembles the global batch across hosts."""
     bs = int(args.batch_size)
     dp = mesh.shape[DATA_AXIS]
     if bs % dp != 0:
         raise ValueError(f"batch_size {bs} not divisible by data-axis size {dp}")
+    pi, pc = jax.process_index(), jax.process_count()
+    per_host_bs = bs if pc == 1 else bs // pc
+    if pc > 1 and bs % pc != 0:
+        raise ValueError(f"batch_size {bs} not divisible by process count {pc}")
     seed = int(getattr(args, "seed", 0))
+    workers = int(getattr(args, "loader_workers", 1) or 1)
+    if workers > 1 and not data.synthetic:
+        workers = 1  # disk datasets carry stateful rng; keep gathers ordered
+
+    def loader(split, kind, seed_offset):
+        return Loader(split, per_host_bs,
+                      _make_sampler(kind, split, seed + seed_offset, pi, pc),
+                      mesh=mesh, workers=workers)
+
     return (
-        Loader(data.train, bs, _make_sampler(data.train_sampler, data.train, seed),
-               mesh=mesh),
-        Loader(data.val, bs, _make_sampler(data.val_sampler, data.val, seed + 1),
-               mesh=mesh),
-        Loader(data.test, bs, _make_sampler(data.test_sampler, data.test, seed + 2),
-               mesh=mesh),
+        loader(data.train, data.train_sampler, 0),
+        loader(data.val, data.val_sampler, 1),
+        loader(data.test, data.test_sampler, 2),
     )
 
 

@@ -22,6 +22,19 @@ from flax import linen as nn
 CONTRACTS = ("jlogits", "jprobas", "ensemble", "ogm_ge", "qmf")
 
 
+def resolve_dtype(args) -> Optional[Any]:
+    """Compute dtype from the ``compute_dtype`` config key (base_cfg.yaml):
+    'bfloat16' -> jnp.bfloat16 on the MXU (the reference's bf16-mixed,
+    utils/run_trainer.py:47); unset/'float32' -> None (modules compute in
+    the input dtype).  Params and BN statistics stay fp32 either way."""
+    name = getattr(args, "compute_dtype", None)
+    if not name or str(name) == "float32":
+        return None
+    import jax.numpy as jnp
+
+    return jnp.dtype(str(name))
+
+
 @dataclasses.dataclass
 class ModelSpec:
     module: nn.Module

@@ -1,0 +1,109 @@
+"""Loader/sampler/checkpoint plumbing: per-host input sharding through
+build_loaders, parallel-gather equivalence, checkpoint GC + async orbax."""
+
+import os
+from types import SimpleNamespace
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_clinical_tpu.data.core import ArrayDataset
+from multimodal_clinical_tpu.data.loader import Loader
+from multimodal_clinical_tpu.data.sampler import RandomSampler, SequentialSampler
+from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+from multimodal_clinical_tpu.engine.run import DataBundle, build_loaders
+from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+
+def _args(**overrides):
+    base = dict(batch_size=16, seed=0)
+    base.update(overrides)
+    return SimpleNamespace(**base)
+
+
+def _bundle(n=64):
+    ds = [make_synthetic_dataset("mimic", n, 4, seed=i, dirs_seed=0)
+          for i in range(3)]
+    return DataBundle(*ds, synthetic=True)
+
+
+def test_build_loaders_per_host_shards_partition_global_stream(monkeypatch):
+    """Two simulated hosts: their train idx streams are disjoint, half-size,
+    and interleave back into the single-host stream."""
+    data = _bundle(64)
+    mesh = make_mesh()
+
+    def streams(pi, pc):
+        monkeypatch.setattr(jax, "process_index", lambda: pi)
+        monkeypatch.setattr(jax, "process_count", lambda: pc)
+        train, _, _ = build_loaders(_args(), data, mesh)
+        train.set_epoch(3)
+        idx = np.concatenate(
+            [np.asarray(b["idx"])[np.asarray(b["valid"]) > 0]
+             for b in train._host_batches()])
+        return idx
+
+    full = streams(0, 1)
+    shard0 = streams(0, 2)
+    shard1 = streams(1, 2)
+    assert len(shard0) == len(shard1) == len(full) // 2
+    recombined = np.empty(len(full), full.dtype)
+    recombined[0::2] = shard0
+    recombined[1::2] = shard1
+    np.testing.assert_array_equal(recombined, full)
+
+
+def test_build_loaders_per_host_batch_size(monkeypatch):
+    """Each host feeds batch_size / process_count rows per step."""
+    data = _bundle(64)
+    mesh = make_mesh()
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    train, _, _ = build_loaders(_args(batch_size=16), data, mesh)
+    batch = next(iter(train._host_batches()))
+    assert batch["label"].shape[0] == 8
+
+
+def test_loader_parallel_gather_matches_sequential():
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset([rng.normal(size=(40, 6)).astype(np.float32)],
+                      (np.arange(40) % 4).astype(np.int32))
+    a = Loader(ds, 16, SequentialSampler(40), workers=1)
+    b = Loader(ds, 16, SequentialSampler(40), workers=4)
+    for ba, bb in zip(a._host_batches(), b._host_batches()):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_checkpoint_gc_keeps_newest(tmp_path):
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.engine.checkpoint import BestCheckpointer
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    args = SimpleNamespace(num_classes=4, batch_size=8, learning_rate=0.1,
+                           num_epochs=1, use_scheduler=False, seed=0)
+    spec = ModelSpec(module=MimicFusionNet(num_classes=4))
+    state = create_train_state(spec, args, jax.random.PRNGKey(0),
+                               [jnp.zeros((2, 5)), jnp.zeros((2, 24, 12))],
+                               steps_per_epoch=2)
+    ck = BestCheckpointer(str(tmp_path), keep_last=2)
+    for step in (1, 2, 3):
+        ck.save_last(state.replace(step=jnp.asarray(step)))
+    ck.wait()
+    names = {n.replace(".msgpack", "") for n in os.listdir(str(tmp_path))}
+    assert "last-3" in names and "last-2" in names
+    assert "last-1" not in names
+    restored = ck.restore_last(state)
+    assert int(restored.step) == 3
+
+
+def test_default_backend_is_orbax_when_available(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from multimodal_clinical_tpu.engine.checkpoint import BestCheckpointer
+
+    ck = BestCheckpointer(str(tmp_path))
+    assert ck.backend == "orbax"

@@ -7,6 +7,7 @@ import sys
 import wave
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -86,6 +87,63 @@ def test_noise_sweep_writes_reference_artifact_shapes(tmp_path, monkeypatch):
         assert rows[0] == ["noise_p", "jlogits_acc", "jlogits_std"]
         assert len(rows) == 3  # header + 2 probabilities
         float(rows[1][1])
+    # make_graph.py-equivalent PNG artifact (enrico/make_graph.py:62)
+    assert (tmp_path / "noise_experiment_combined.png").stat().st_size > 0
+
+
+def test_analyze_runs_export_and_compare(tmp_path, capsys):
+    import analyze_runs
+
+    # fabricate a multiseed seeds.csv (engine/multiseed.py::_write_seed_csv)
+    run_a, run_b = tmp_path / "jl", tmp_path / "en"
+    for run_dir, accs in ((run_a, (0.80, 0.70)), (run_b, (0.75, 0.72))):
+        run_dir.mkdir()
+        with open(run_dir / "seeds.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["seed", "test_epoch/test_avg_acc",
+                        "test_epoch/test_avg_x1_acc",
+                        "test_epoch/test_avg_x2_acc"])
+            for s, acc in enumerate(accs):
+                w.writerow([s, acc, acc - 0.1, acc - 0.05])
+            w.writerow(["mean", sum(accs) / 2, "", ""])
+            w.writerow(["std", 0.01, "", ""])
+    jl_csv, en_csv = tmp_path / "jl.csv", tmp_path / "en.csv"
+    assert analyze_runs.export([str(run_a)], str(jl_csv)) == 2
+    assert analyze_runs.export([str(run_b)], str(en_csv)) == 2
+    rows = list(csv.DictReader(open(jl_csv)))
+    # reference export column layout (mimic/mimic_jlogits.csv header)
+    assert float(rows[0]["test_acc_epoch"]) == 0.80
+    assert float(rows[0]["x1_test_acc"]) == pytest.approx(0.70)
+    counts = analyze_runs.compare(str(jl_csv), str(en_csv))
+    # seed0: 0.80 > 0.75; seed1: 0.70 < 0.72 -> one greater
+    assert counts["test_acc_epoch"] == 1
+    assert "greater than ensemble" in capsys.readouterr().out
+
+
+def test_fakenews_embed_pipeline(tmp_path):
+    """fakenews-embed on a fabricated TSV (data_preprocessing.py:47-54
+    equivalent; offline fallback path — no downloadable weights here)."""
+    import pickle
+
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text(
+        "id\tclean_title\t6_way_label\tcomments\n"
+        "a1\tBreaking news about cats\t0\tthis is clearly fake "
+        "because reasons and more reasons\n"
+        "a2\tAnother totally real story\t3\tno comment thread here\n"
+    )
+    out = tmp_path / "train_df.pkl"
+    preprocess.main(["fakenews-embed", "--tsv", str(tsv), "--out", str(out),
+                     "--text-embedder", "", "--summarization-model", "",
+                     "--dialogue", "--embed-dim", "64", "--lead-tokens", "4"])
+    with open(out, "rb") as f:
+        df = pickle.load(f)
+    assert df["embedding"].shape == (2, 64)
+    # unit-norm hashed embeddings, deterministic
+    np.testing.assert_allclose(np.linalg.norm(df["embedding"], axis=1), 1.0,
+                               atol=1e-5)
+    assert list(df["label"]) == [0, 3]
+    assert df["dialogue_summary"][0] == "this is clearly fake"
 
 
 def test_food101_tokens_pixel_path(tmp_path):

@@ -90,6 +90,43 @@ def main(argv=None):
     write("test_epoch/test_avg_acc", "data.csv")
     write("test_epoch/test_avg_x1_acc", "data_x1.csv")
     write("test_epoch/test_avg_x2_acc", "data_x2.csv")
+    render_png(args_cli.out_dir, args_cli.probs, args_cli.model_types,
+               results)
+
+
+def render_png(out_dir, probs, model_types, results):
+    """make_graph.py-equivalent artifact (enrico/make_graph.py:46-62):
+    accuracy-vs-noise errorbar curves for joint/x1/x2 streams of every
+    model type, one combined PNG."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as exc:  # headless-image safety
+        print(f"[sweep] matplotlib unavailable ({exc}); skipping PNG")
+        return
+    streams = [
+        ("test_epoch/test_avg_acc", "joint", "-o"),
+        ("test_epoch/test_avg_x1_acc", "x1", "-^"),
+        ("test_epoch/test_avg_x2_acc", "x2", "->"),
+    ]
+    plt.figure(figsize=(15, 8))
+    for model in model_types:
+        for key, tag, fmt in streams:
+            means = [results[p][model].get(key, float("nan")) for p in probs]
+            stds = [results[p][model].get(key + "_std", 0.0) for p in probs]
+            plt.errorbar(probs, means, yerr=stds, fmt=fmt, capsize=5,
+                         label=f"{tag} {model}")
+    plt.title("Test Accuracy vs Noise Probability")
+    plt.xlabel("Probability")
+    plt.ylabel("Accuracy")
+    plt.legend()
+    plt.grid(True)
+    path = os.path.join(out_dir, "noise_experiment_combined.png")
+    plt.savefig(path)
+    plt.close()
+    print(f"[sweep] wrote {path}")
 
 
 if __name__ == "__main__":

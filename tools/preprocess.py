@@ -227,6 +227,84 @@ def cmd_food101_split(args):
     print(f"wrote {count} entries to {args.out}")
 
 
+def cmd_fakenews_embed(args):
+    """Fakeddit TSV -> preprocessed dataframe pickle: cleaned text, text
+    embeddings, optional summarized dialogue.
+
+    The reference's fakenews/data_preprocessing.py (broken as shipped:
+    line 54 is the literal ``text_embedder = `` syntax error) embeds
+    ``clean_title`` with a sentence-transformers model
+    (preprocess.yaml ``text_embedder: all-distilroberta-v1``) and
+    summarizes comment threads with a seq2seq model
+    (``dialogue_summarization_model: sshleifer/distilbart-cnn-12-6``).
+    Both are config-gated here (zero-egress image): when local weights are
+    unavailable the embedder falls back to a deterministic hashed
+    bag-of-words embedding and the summarizer to lead-N extraction, so the
+    downstream pipeline shape is always exercised.  Output: a pickle of
+    {"id", "text", "embedding" (N, D), "label"[, "dialogue_summary"]}.
+    """
+    import csv as _csv
+    import pickle
+    import zlib
+
+    embedder = None
+    if args.text_embedder:
+        try:
+            from sentence_transformers import SentenceTransformer
+
+            embedder = SentenceTransformer(args.text_embedder)
+        except Exception as exc:
+            print(f"[fakenews-embed] embedder unavailable ({exc}); "
+                  "hashed bag-of-words fallback")
+    summarizer = None
+    if args.dialogue and args.summarization_model:
+        try:
+            from transformers import pipeline
+
+            summarizer = pipeline("summarization",
+                                  model=args.summarization_model)
+        except Exception as exc:
+            print(f"[fakenews-embed] summarizer unavailable ({exc}); "
+                  "lead-{n} extraction fallback".format(n=args.lead_tokens))
+
+    def hash_embed(text, dim=args.embed_dim):
+        vec = np.zeros(dim, np.float32)
+        for tok in text.lower().split():
+            h = zlib.crc32(tok.encode())
+            vec[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+        norm = np.linalg.norm(vec)
+        return vec / norm if norm > 0 else vec
+
+    ids, texts, labels, summaries = [], [], [], []
+    with open(args.tsv) as f:
+        for row in _csv.DictReader(f, delimiter="\t"):
+            ids.append(row.get("id", str(len(ids))))
+            texts.append(row.get("clean_title", ""))
+            labels.append(int(row.get("6_way_label", 0)))
+            if args.dialogue:
+                comments = row.get("comments", "") or row.get("dialogue", "")
+                if summarizer is not None and comments:
+                    summaries.append(summarizer(
+                        comments, truncation=True)[0]["summary_text"])
+                else:
+                    summaries.append(" ".join(
+                        comments.split()[: args.lead_tokens]))
+    if embedder is not None:
+        emb = np.asarray(embedder.encode(texts), np.float32)
+    else:
+        emb = np.stack([hash_embed(t) for t in texts]) if texts else \
+            np.zeros((0, args.embed_dim), np.float32)
+    out = {"id": ids, "text": texts, "embedding": emb,
+           "label": np.asarray(labels, np.int32)}
+    if args.dialogue:
+        out["dialogue_summary"] = summaries
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    print(f"wrote {len(ids)} samples (embedding dim {emb.shape[-1]}) "
+          f"to {args.out}")
+
+
 def cmd_check_frames(args):
     bad = []
     for clip in sorted(os.listdir(args.frames_root)):
@@ -301,6 +379,19 @@ def main(argv=None):
     s.add_argument("--suffix", default=".wav")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_fix_missing)
+
+    s = sub.add_parser("fakenews-embed")
+    s.add_argument("--tsv", required=True)
+    s.add_argument("--out", required=True)
+    # preprocess.yaml keys (fakenews/preprocess.yaml:7-8); empty string
+    # disables the model and uses the offline fallback
+    s.add_argument("--text-embedder", default="all-distilroberta-v1")
+    s.add_argument("--summarization-model",
+                   default="sshleifer/distilbart-cnn-12-6")
+    s.add_argument("--dialogue", action="store_true")
+    s.add_argument("--embed-dim", type=int, default=768)
+    s.add_argument("--lead-tokens", type=int, default=48)
+    s.set_defaults(fn=cmd_fakenews_embed)
 
     args = p.parse_args(argv)
     args.fn(args)
