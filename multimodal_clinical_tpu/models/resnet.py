@@ -24,10 +24,20 @@ from typing import Any, Optional, Sequence
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .common import FusedBatchNorm, kaiming_normal_fan_out, normal_init
 
 _bn_scale_init = normal_init(1.0, 0.02)
+
+#: remat policies for block-level ``jax.checkpoint`` (see ResNetEncoder.remat).
+#: "convs" saves only the tagged conv outputs — backward recomputes the cheap
+#: BN-apply/ReLU elementwise from them instead of round-tripping every
+#: intermediate activation through HBM; "none" recomputes everything.
+_REMAT_POLICIES = {
+    "convs": lambda: jax.checkpoint_policies.save_only_these_names("conv_out"),
+    "none": lambda: None,
+}
 
 
 class _BN(nn.Module):
@@ -154,12 +164,15 @@ class BasicBlock(nn.Module):
         bn = partial(_BN, not train, self.dtype, self.bn_scale_init,
                      self.bn_fused)
         out = _conv(self.planes, 3, self.stride, self.dtype)(x)
+        out = checkpoint_name(out, "conv_out")
         out = bn()(out)
         out = nn.relu(out)
         out = _conv(self.planes, 3, 1, self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = bn()(out)
         if self.downsample:
             identity = _conv(self.planes, 1, self.stride, self.dtype)(x)
+            identity = checkpoint_name(identity, "conv_out")
             identity = bn()(identity)
         return nn.relu(out + identity)
 
@@ -180,6 +193,11 @@ class ResNetEncoder(nn.Module):
     # unbiased estimator) — a ~1/(M-1) relative eval-only divergence,
     # negligible at real feature-map sizes but visible in strict tests.
     bn_fused: bool = False
+    # block-level rematerialisation: None (save all residuals, XLA default),
+    # "convs" (jax.checkpoint each BasicBlock, saving only conv outputs —
+    # BN-apply/ReLU recompute in backward, trading elementwise FLOPs for
+    # HBM activation traffic), or "none" (full recompute).  Math-identical.
+    remat: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -195,21 +213,38 @@ class ResNetEncoder(nn.Module):
         # 1428 samples/s on the VGGSound step): the strided slices read
         # 4x data per tap and saving y breaks XLA's remat plan. Keep XLA's.
         x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        block_cls = BasicBlock
+        if self.remat:
+            # static_argnums: (self, x, train) -> train must stay a Python
+            # bool (it selects the BN mode at trace time).  prevent_cse
+            # must stay True: with False, XLA CSEs every rematerialized op
+            # back into the original and the program is bit-identical to
+            # no-remat (measured: 151.9 vs 151.6 ms/step).
+            block_cls = nn.remat(
+                BasicBlock, static_argnums=(2,), prevent_cse=True,
+                policy=_REMAT_POLICIES[self.remat](),
+            )
         planes = self.width
+        idx = 0
         for stage, blocks in enumerate(self.stage_sizes):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 # BasicBlock nets change width exactly when striding, so the
                 # projection shortcut is needed iff stride != 1.
                 down = stride != 1
-                x = BasicBlock(
+                x = block_cls(
                     planes,
                     stride=stride,
                     downsample=down,
                     dtype=self.dtype,
                     bn_scale_init=self.bn_scale_init,
                     bn_fused=self.bn_fused,
+                    # explicit name: the remat wrapper would otherwise
+                    # auto-name as CheckpointBasicBlock_i, breaking param-
+                    # path stability (checkpoints, torch porting, OGM-GE)
+                    name=f"BasicBlock_{idx}",
                 )(x, train)
+                idx += 1
             planes *= 2
         return x
 

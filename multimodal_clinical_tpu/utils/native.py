@@ -65,6 +65,29 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.jpeg_dims.restype = ctypes.c_int
+    if hasattr(lib, "mp4_open"):
+        lib.mp4_open.argtypes = [ctypes.c_char_p]
+        lib.mp4_open.restype = ctypes.c_void_p
+        lib.mp4_close.argtypes = [ctypes.c_void_p]
+        lib.mp4_track_count.argtypes = [ctypes.c_void_p]
+        lib.mp4_track_count.restype = ctypes.c_int
+        lib.mp4_track_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        lib.mp4_track_info.restype = ctypes.c_int
+        lib.mp4_sample_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]
+        lib.mp4_sample_size.restype = ctypes.c_int64
+        lib.mp4_sample_time.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64]
+        lib.mp4_sample_time.restype = ctypes.c_int64
+        lib.mp4_read_sample.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.mp4_read_sample.restype = ctypes.c_int64
+        lib.mp4_read_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.mp4_read_range.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -143,6 +166,94 @@ def jpeg_dims(path_or_bytes) -> Optional[tuple]:
         ctypes.byref(h), ctypes.byref(w),
     )
     return (h.value, w.value) if rc == 0 else None
+
+
+def _cc(code: int) -> str:
+    """int fourcc -> ascii tag ('vide', 'jpeg', 'sowt', ...)."""
+    return bytes((code >> s) & 0xFF for s in (24, 16, 8, 0)).decode(
+        "latin-1")
+
+
+class Mp4File:
+    """Native ISO-BMFF demuxer handle (native/mp4_demux.cpp) — the
+    ffmpeg-free replacement for the reference's container handling
+    (cremad/video_preprocessing.py:36-76, vggsound/mp4_to_wav.py:26-44).
+
+    ``tracks`` is a list of dicts with handler / codec fourcc strings,
+    timescale, n_samples, and per-kind geometry.  Samples are served by
+    index: MJPEG video samples are complete JPEGs; PCM audio samples
+    concatenate to the raw stream.
+    """
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None or not hasattr(lib, "mp4_open"):
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.mp4_open(path.encode())
+        if not self._h:
+            raise ValueError(f"not a parseable MP4/MOV: {path}")
+        self.tracks = []
+        info = (ctypes.c_int64 * 10)()
+        for t in range(lib.mp4_track_count(self._h)):
+            lib.mp4_track_info(self._h, t, info)
+            self.tracks.append({
+                "handler": _cc(info[0]), "codec": _cc(info[1]),
+                "timescale": int(info[2]), "n_samples": int(info[3]),
+                "width": int(info[4]), "height": int(info[5]),
+                "channels": int(info[6]), "sample_rate": int(info[7]),
+                "bits": int(info[8]), "duration": int(info[9]),
+            })
+
+    def close(self):
+        if self._h:
+            self._lib.mp4_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def sample_times(self, track: int) -> np.ndarray:
+        """Decode timestamps in seconds for every sample of ``track``."""
+        tr = self.tracks[track]
+        ts = max(tr["timescale"], 1)
+        out = np.empty(tr["n_samples"], np.float64)
+        for i in range(tr["n_samples"]):
+            out[i] = self._lib.mp4_sample_time(self._h, track, i) / ts
+        return out
+
+    def read_sample(self, track: int, i: int) -> bytes:
+        size = self._lib.mp4_sample_size(self._h, track, i)
+        if size < 0:
+            raise IndexError(f"sample {i} of track {track}")
+        buf = np.empty(size, np.uint8)
+        got = self._lib.mp4_read_sample(
+            self._h, track, i,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), size)
+        if got != size:
+            raise IOError(f"short read ({got}) for sample {i}")
+        return buf.tobytes()
+
+    def read_range(self, track: int, i0: int, i1: int) -> np.ndarray:
+        """Concatenated raw bytes of samples [i0, i1) (PCM bulk path)."""
+        total = sum(self._lib.mp4_sample_size(self._h, track, i)
+                    for i in range(i0, i1))
+        buf = np.empty(max(total, 1), np.uint8)
+        got = self._lib.mp4_read_range(
+            self._h, track, i0, i1,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), total)
+        if got != total:
+            raise IOError(f"short range read ({got} != {total})")
+        return buf[:total]
 
 
 def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:

@@ -1,0 +1,253 @@
+"""Native ISO-BMFF demuxer (native/mp4_demux.cpp) + the ffmpeg-free
+preprocess backends (tools/preprocess.py video-frames / mp4-to-wav).
+
+A minimal in-test MP4 muxer fabricates MJPEG+PCM files (the codecs the
+native stage supports; reference pipelines: cremad/video_preprocessing.py,
+vggsound/mp4_to_wav.py), then the demuxer must reproduce the exact sample
+bytes and the CLI subcommands must emit frames/wavs from them.
+"""
+
+import io
+import os
+import struct
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_clinical_tpu.utils import native
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable")
+
+
+# ---------------------------------------------------------------------------
+# Minimal MP4 muxer (test fixture only): one MJPEG video track + one
+# 'sowt' (s16le) PCM audio track, each in a single chunk.
+# ---------------------------------------------------------------------------
+
+def _box(tag: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, *payload: bytes, version=0, flags=0) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags), *payload)
+
+
+def _tkhd(track_id, duration, w=0, h=0):
+    return _full(b"tkhd", struct.pack(
+        ">IIII4xI8xHHHH36xII", 0, 0, track_id, 0, duration,
+        0, 0, 0, 0, w << 16, h << 16), flags=7)
+
+
+def _mdhd(timescale, duration):
+    return _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration,
+                                      0x55C4, 0))
+
+
+def _hdlr(handler: bytes):
+    return _full(b"hdlr", struct.pack(">4x4s12x", handler) + b"h\x00")
+
+
+def _stts(count, delta):
+    return _full(b"stts", struct.pack(">III", 1, count, delta))
+
+
+def _stsc(per_chunk):
+    return _full(b"stsc", struct.pack(">IIII", 1, 1, per_chunk, 1))
+
+
+def _stsz_sized(sizes):
+    return _full(b"stsz", struct.pack(">II", 0, len(sizes)) +
+                 b"".join(struct.pack(">I", s) for s in sizes))
+
+
+def _stsz_uniform(size, count):
+    return _full(b"stsz", struct.pack(">II", size, count))
+
+
+def _stco(offset):
+    return _full(b"stco", struct.pack(">II", 1, offset))
+
+
+def _video_entry(w, h):
+    return _box(b"jpeg", struct.pack(
+        ">6xH2x2x12xHHIIIH32sHh",
+        1, w, h, 0x00480000, 0x00480000, 0, 1, b"\x00" * 32, 24, -1))
+
+
+def _audio_entry(channels, rate):
+    return _box(b"sowt", struct.pack(
+        ">6xH8xHHHHI", 1, channels, 16, 0, 0, rate << 16))
+
+
+def _trak(entry, tkhd, mdhd, hdlr, header, stts, stsc, stsz, stco):
+    stbl = _box(b"stbl", _full(b"stsd", struct.pack(">I", 1), entry),
+                stts, stsc, stsz, stco)
+    dinf = _box(b"dinf", _full(b"dref", struct.pack(">I", 1),
+                               _full(b"url ", flags=1)))
+    minf = _box(b"minf", header, dinf, stbl)
+    return _box(b"trak", tkhd, _box(b"mdia", mdhd, hdlr, minf))
+
+
+def write_mp4(path, jpeg_frames, fps, pcm_s16le, channels, rate):
+    """Mux MJPEG frames (one sample each) + one PCM track into an MP4."""
+    ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2")
+    video_payload = b"".join(jpeg_frames)
+    audio_payload = np.ascontiguousarray(pcm_s16le, "<i2").tobytes()
+    mdat = _box(b"mdat", video_payload + audio_payload)
+    video_off = len(ftyp) + 8
+    audio_off = video_off + len(video_payload)
+    n_pcm = len(pcm_s16le) // channels
+
+    w, h = Image.open(io.BytesIO(jpeg_frames[0])).size
+    vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    smhd = _full(b"smhd", struct.pack(">Hxx", 0))
+    v = _trak(_video_entry(w, h), _tkhd(1, len(jpeg_frames), w, h),
+              _mdhd(int(round(fps)), len(jpeg_frames)), _hdlr(b"vide"),
+              vmhd, _stts(len(jpeg_frames), 1), _stsc(len(jpeg_frames)),
+              _stsz_sized([len(f) for f in jpeg_frames]), _stco(video_off))
+    a = _trak(_audio_entry(channels, rate), _tkhd(2, n_pcm),
+              _mdhd(rate, n_pcm), _hdlr(b"soun"), smhd,
+              _stts(n_pcm, 1), _stsc(n_pcm),
+              _stsz_uniform(2 * channels, n_pcm), _stco(audio_off))
+    mvhd = _full(b"mvhd", struct.pack(
+        ">IIIIIH10x36x24xI", 0, 0, 1000, 0, 0x00010000, 0x0100, 3))
+    moov = _box(b"moov", mvhd, v, a)
+    with open(path, "wb") as f:
+        f.write(ftyp + mdat + moov)
+
+
+def _jpeg(seed, size=(48, 32)):
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (size[1], size[0], 3),
+                                       dtype=np.uint8).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+@pytest.fixture
+def mp4_file(tmp_path):
+    frames = [_jpeg(i) for i in range(6)]
+    rng = np.random.default_rng(7)
+    rate, channels, secs = 16000, 2, 3
+    pcm = (rng.normal(scale=0.2, size=rate * secs * channels) *
+           32767).clip(-32768, 32767).astype(np.int16)
+    path = str(tmp_path / "clip0001.mp4")
+    write_mp4(path, frames, fps=2.0, pcm_s16le=pcm, channels=channels,
+              rate=rate)
+    return path, frames, pcm, channels, rate
+
+
+def test_probe_tracks(mp4_file):
+    path, frames, pcm, channels, rate = mp4_file
+    with native.Mp4File(path) as m:
+        kinds = {t["handler"]: t for t in m.tracks}
+        assert set(kinds) == {"vide", "soun"}
+        v, a = kinds["vide"], kinds["soun"]
+        assert v["codec"] == "jpeg"
+        assert (v["width"], v["height"]) == (48, 32)
+        assert v["n_samples"] == len(frames)
+        assert a["codec"] == "sowt"
+        assert a["channels"] == channels
+        assert a["sample_rate"] == rate
+        assert a["n_samples"] == len(pcm) // channels
+
+
+def test_video_samples_roundtrip(mp4_file):
+    path, frames, *_ = mp4_file
+    with native.Mp4File(path) as m:
+        t = next(i for i, tr in enumerate(m.tracks)
+                 if tr["handler"] == "vide")
+        for i, f in enumerate(frames):
+            assert m.read_sample(t, i) == f
+        times = m.sample_times(t)
+        np.testing.assert_allclose(times, np.arange(len(frames)) / 2.0)
+
+
+def test_audio_range_roundtrip(mp4_file):
+    path, _, pcm, channels, rate = mp4_file
+    with native.Mp4File(path) as m:
+        t = next(i for i, tr in enumerate(m.tracks)
+                 if tr["handler"] == "soun")
+        raw = m.read_range(t, 0, m.tracks[t]["n_samples"])
+        got = np.frombuffer(raw.tobytes(), "<i2")
+        np.testing.assert_array_equal(got, pcm)
+
+
+def test_cli_video_frames_native(mp4_file, tmp_path):
+    path, frames, *_ = mp4_file
+    out = tmp_path / "frames"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "preprocess.py"),
+         "video-frames", "--video-dir", os.path.dirname(path),
+         "--out", str(out), "--fps", "2", "--backend", "native"],
+        check=True, capture_output=True, cwd=REPO)
+    clip_dir = out / "clip0001"
+    written = sorted(os.listdir(clip_dir))
+    # 6 frames at the native 2 fps -> the grid reproduces every sample
+    assert len(written) == len(frames)
+    for name, f in zip(written, frames):
+        assert (clip_dir / name).read_bytes() == f
+
+
+def test_cli_mp4_to_wav_native(mp4_file, tmp_path):
+    path, _, pcm, channels, rate = mp4_file
+    out = tmp_path / "wav"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "preprocess.py"),
+         "mp4-to-wav", "--video-dir", os.path.dirname(path),
+         "--out", str(out), "--backend", "native"],
+        check=True, capture_output=True, cwd=REPO)
+    with wave.open(str(out / "clip0001.wav"), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getframerate() == 16000
+        got = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    # rate already 16 kHz -> no resample; mono mixdown of the two channels
+    want = pcm.reshape(-1, channels).astype(np.float32).mean(axis=1)
+    np.testing.assert_allclose(got.astype(np.float32), want, atol=1.01)
+
+
+def test_cli_video_frames_segment(mp4_file, tmp_path):
+    """Segment csv limits extraction to [0.5, 1.5) -> 2 frames at 2 fps."""
+    path, frames, *_ = mp4_file
+    seg = tmp_path / "segments.csv"
+    seg.write_text("clip0001,0.5,1.5\n")
+    out = tmp_path / "frames_seg"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "preprocess.py"),
+         "video-frames", "--video-dir", os.path.dirname(path),
+         "--out", str(out), "--fps", "2", "--backend", "native",
+         "--segments", str(seg), "--min-frames", "1"],
+        check=True, capture_output=True, cwd=REPO)
+    written = sorted(os.listdir(out / "clip0001"))
+    assert len(written) == 2
+    # grid ticks 0.5, 1.0 -> samples 1 and 2
+    assert (out / "clip0001" / written[0]).read_bytes() == frames[1]
+    assert (out / "clip0001" / written[1]).read_bytes() == frames[2]
+
+
+def test_unsupported_codec_message(tmp_path):
+    """An honest error names the codec and the ffmpeg requirement."""
+    frames = [_jpeg(0)]
+    path = str(tmp_path / "x.mp4")
+    write_mp4(path, frames, 1.0, np.zeros(16, np.int16), 1, 16000)
+    # rewrite the video stsd fourcc to avc1 (H.264)
+    data = bytearray(open(path, "rb").read())
+    idx = data.find(b"jpeg")
+    data[idx:idx + 4] = b"avc1"
+    open(path, "wb").write(bytes(data))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import preprocess as pp
+    finally:
+        sys.path.pop(0)
+    with pytest.raises(RuntimeError, match="avc1.*ffmpeg"):
+        pp._native_video_frames(path, str(tmp_path), 1.0, None)

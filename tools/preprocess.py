@@ -7,10 +7,12 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
                   (replaces cremad/video_preprocessing.py:111-130's
                   librosa/scipy host loop)
   video-frames    mp4 -> JPEG frames at a fixed FPS with a minimum count
-                  (cremad/ave/vggsound video_preprocessing.py; requires
-                  ffmpeg on PATH — gated)
-  mp4-to-wav      mp4 -> 16 kHz mono wav (ave/vggsound mp4_to_wav.py;
-                  ffmpeg-gated)
+                  (cremad/ave/vggsound video_preprocessing.py).  Backends:
+                  ffmpeg when on PATH, else the native ISO-BMFF demuxer
+                  (native/mp4_demux.cpp — MJPEG samples written verbatim;
+                  H.264 etc. still need ffmpeg)
+  mp4-to-wav      mp4 -> 16 kHz mono wav (ave/vggsound mp4_to_wav.py).
+                  Same backends (native path extracts PCM tracks)
   food101-tokens  image+text -> SigLIP input_ids / pixel_values .npy pairs
                   (food101/extract_token.py:45-69; HF tokenizer gated,
                   pixel path always available via PIL)
@@ -40,12 +42,96 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TARGET_SR = 16000
 
 
-def _require_ffmpeg():
-    if shutil.which("ffmpeg") is None:
-        raise SystemExit(
-            "ffmpeg not found on PATH — video decode subcommands need it "
-            "(audio/token preprocessing do not)"
-        )
+def _pick_backend(requested: str) -> str:
+    """'ffmpeg' when on PATH, else the native ISO-BMFF demuxer
+    (native/mp4_demux.cpp: MJPEG video + PCM audio; compressed codecs
+    still need ffmpeg and fail with a codec-naming error)."""
+    if requested != "auto":
+        return requested
+    return "ffmpeg" if shutil.which("ffmpeg") is not None else "native"
+
+
+_PCM_CODECS = {
+    "sowt": ("<i2", 16), "twos": (">i2", 16),
+    "lpcm": ("<i2", 16), "raw ": ("u1", 8), "in24": (None, 24),
+}
+_JPEG_CODECS = {"jpeg", "mjpa", "mjpb", "MJPG", "mjpg"}
+
+
+def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
+    """MJPEG-in-MP4 frame extraction on the fps grid (each container
+    sample IS a JPEG; written verbatim, no re-encode)."""
+    from multimodal_clinical_tpu.utils.native import Mp4File
+
+    with Mp4File(src) as m:
+        vid = [i for i, t in enumerate(m.tracks) if t["handler"] == "vide"]
+        if not vid:
+            raise RuntimeError(f"{src}: no video track")
+        t = vid[0]
+        codec = m.tracks[t]["codec"]
+        if codec not in _JPEG_CODECS:
+            raise RuntimeError(
+                f"{src}: video codec {codec!r} needs ffmpeg (native path "
+                "decodes MJPEG only)")
+        times = m.sample_times(t)
+        start = seg[0] if seg else 0.0
+        end = seg[1] if seg else float(times[-1]) + 1.0 / fps
+        # ffmpeg -vf fps semantics: one frame per 1/fps tick, nearest
+        # preceding sample
+        n_out = 0
+        tick = start
+        while tick < end:
+            i = int(np.searchsorted(times, tick + 1e-9, side="right")) - 1
+            i = max(i, 0)
+            n_out += 1
+            with open(os.path.join(out_dir, f"frame_{n_out:05d}.jpg"),
+                      "wb") as f:
+                f.write(m.read_sample(t, i))
+            tick = start + n_out / fps
+        return n_out
+
+
+def _native_mp4_to_wav(src: str, dst: str, seg) -> None:
+    """PCM-in-MP4 audio extraction -> mono 16 kHz wav (the reference's
+    ffmpeg call: vggsound/mp4_to_wav.py:26-44)."""
+    from multimodal_clinical_tpu.utils.native import Mp4File
+
+    with Mp4File(src) as m:
+        aud = [i for i, t in enumerate(m.tracks) if t["handler"] == "soun"]
+        if not aud:
+            raise RuntimeError(f"{src}: no audio track")
+        t = aud[0]
+        tr = m.tracks[t]
+        codec = tr["codec"]
+        if codec not in _PCM_CODECS or _PCM_CODECS[codec][0] is None:
+            raise RuntimeError(
+                f"{src}: audio codec {codec!r} needs ffmpeg (native path "
+                "extracts PCM only)")
+        dtype, _bits = _PCM_CODECS[codec]
+        raw = m.read_range(t, 0, tr["n_samples"]).tobytes()
+        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if dtype == "u1":
+            data = (data - 128.0) / 128.0
+        else:
+            data = data / 32768.0
+        ch = max(tr["channels"], 1)
+        if ch > 1:
+            data = data[: len(data) // ch * ch].reshape(-1, ch).mean(axis=1)
+        sr = tr["sample_rate"] or tr["timescale"] or TARGET_SR
+        if seg:
+            i0 = int(max(seg[0], 0) * sr)
+            i1 = int(seg[1] * sr)
+            data = data[i0:i1]
+        if sr != TARGET_SR and len(data) > 1:
+            n_out = int(len(data) * TARGET_SR / sr)
+            data = np.interp(np.linspace(0, len(data) - 1, n_out),
+                             np.arange(len(data)), data)
+        pcm = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+        with wave.open(dst, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(TARGET_SR)
+            w.writeframes(pcm.tobytes())
 
 
 def _read_wav_mono(path: str) -> np.ndarray:
@@ -120,22 +206,32 @@ def _load_segments(path):
 
 
 def cmd_video_frames(args):
-    _require_ffmpeg()
+    backend = _pick_backend(getattr(args, "backend", "auto"))
     os.makedirs(args.out, exist_ok=True)
     segments = _load_segments(getattr(args, "segments", None))
     videos = sorted(f for f in os.listdir(args.video_dir)
-                    if f.endswith((".mp4", ".flv", ".avi")))
+                    if f.endswith((".mp4", ".flv", ".avi", ".mov")))
     for name in videos:
         clip = os.path.splitext(name)[0]
         out_dir = os.path.join(args.out, clip)
         os.makedirs(out_dir, exist_ok=True)
+        src = os.path.join(args.video_dir, name)
+        if backend == "native":
+            seg = segments.get(clip)
+            _native_video_frames(src, out_dir, args.fps, seg)
+            frames = sorted(os.listdir(out_dir))
+            while 0 < len(frames) < args.min_frames:
+                shutil.copy(os.path.join(out_dir, frames[-1]),
+                            os.path.join(out_dir,
+                                         f"frame_{len(frames) + 1:05d}.jpg"))
+                frames = sorted(os.listdir(out_dir))
+            continue
         seg = []
         if clip in segments:
             start, end = segments[clip]
             seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", *seg, "-i",
-             os.path.join(args.video_dir, name),
+            ["ffmpeg", "-loglevel", "error", *seg, "-i", src,
              "-vf", f"fps={args.fps}", "-q:v", "2",
              os.path.join(out_dir, "frame_%05d.jpg")],
             check=True,
@@ -151,21 +247,25 @@ def cmd_video_frames(args):
 
 
 def cmd_mp4_to_wav(args):
-    _require_ffmpeg()
+    backend = _pick_backend(getattr(args, "backend", "auto"))
     os.makedirs(args.out, exist_ok=True)
     segments = _load_segments(getattr(args, "segments", None))
     videos = sorted(f for f in os.listdir(args.video_dir)
-                    if f.endswith(".mp4"))
+                    if f.endswith((".mp4", ".mov")))
     for name in videos:
         clip = os.path.splitext(name)[0]
+        src = os.path.join(args.video_dir, name)
+        if backend == "native":
+            _native_mp4_to_wav(src, os.path.join(args.out, clip + ".wav"),
+                               segments.get(clip))
+            continue
         seg = []
         if clip in segments:
             start, end = segments[clip]
             seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", *seg, "-i",
-             os.path.join(args.video_dir, name), "-ac", "1", "-ar",
-             str(TARGET_SR),
+            ["ffmpeg", "-loglevel", "error", *seg, "-i", src, "-ac", "1",
+             "-ar", str(TARGET_SR),
              os.path.join(args.out, clip + ".wav")],
             check=True,
         )
@@ -345,6 +445,10 @@ def main(argv=None):
     s.add_argument("--segments", default=None,
                    help="clip,start,end csv for segment-aware extraction "
                         "(AVE SE pipeline)")
+    s.add_argument("--backend", choices=("auto", "ffmpeg", "native"),
+                   default="auto",
+                   help="auto: ffmpeg when on PATH, else the native "
+                        "demuxer (MJPEG only)")
     s.set_defaults(fn=cmd_video_frames)
 
     s = sub.add_parser("mp4-to-wav")
@@ -352,6 +456,10 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--segments", default=None,
                    help="clip,start,end csv (AVE extractWav_SE)")
+    s.add_argument("--backend", choices=("auto", "ffmpeg", "native"),
+                   default="auto",
+                   help="auto: ffmpeg when on PATH, else the native "
+                        "demuxer (PCM only)")
     s.set_defaults(fn=cmd_mp4_to_wav)
 
     s = sub.add_parser("food101-tokens")
