@@ -77,6 +77,12 @@ class BestCheckpointer:
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         self.best_metric: float = float("-inf")
         self.best_path: Optional[str] = None
+        # resume bookkeeping: epochs completed at save time + the epoch
+        # geometry they were measured in.  Deriving the epoch from
+        # step // steps_per_epoch alone mis-resumes when batch size or
+        # dataset size changed between runs (trainer guards on these).
+        self.epochs_done: Optional[int] = None
+        self.steps_per_epoch: Optional[int] = None
         self.keep_last = max(1, int(keep_last))
         os.makedirs(ckpt_dir, exist_ok=True)
         if backend == "auto":
@@ -143,7 +149,9 @@ class BestCheckpointer:
         import json
 
         with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
-            json.dump({"best_metric": self.best_metric}, f)
+            json.dump({"best_metric": self.best_metric,
+                       "epochs_done": self.epochs_done,
+                       "steps_per_epoch": self.steps_per_epoch}, f)
 
     def _read_meta(self) -> None:
         import json
@@ -151,7 +159,10 @@ class BestCheckpointer:
         path = os.path.join(self.ckpt_dir, "meta.json")
         if os.path.exists(path):
             with open(path) as f:
-                self.best_metric = float(json.load(f)["best_metric"])
+                meta = json.load(f)
+            self.best_metric = float(meta["best_metric"])
+            self.epochs_done = meta.get("epochs_done")
+            self.steps_per_epoch = meta.get("steps_per_epoch")
 
     # -- public API --------------------------------------------------------
     def maybe_save(self, state: TrainState, metric: float) -> bool:
@@ -179,10 +190,17 @@ class BestCheckpointer:
                 out.append((-1, os.path.join(self.ckpt_dir, stem)))
         return sorted(set(out))
 
-    def save_last(self, state: TrainState) -> str:
+    def save_last(self, state: TrainState,
+                  epochs_done: Optional[int] = None,
+                  steps_per_epoch: Optional[int] = None) -> str:
         """Step-stamped rolling checkpoint; prunes beyond ``keep_last``."""
         step = int(jax.device_get(state.step))
         path = os.path.join(self.ckpt_dir, f"last-{step}")
+        if epochs_done is not None:
+            self.epochs_done = int(epochs_done)
+            self.steps_per_epoch = (int(steps_per_epoch)
+                                    if steps_per_epoch else None)
+            self._write_meta()
         self._save(path, state_to_tree(state))
         # GC: drop the oldest rolling checkpoints (never touches 'best').
         # The just-saved path may still be in flight (async) and absent from

@@ -106,7 +106,19 @@ class Trainer:
     def fit(self) -> Dict[str, float]:
         num_epochs = int(getattr(self.args, "num_epochs", 1))
         steps_per_epoch = max(len(self.train_loader), 1)
-        start_epoch = int(self.state.step) // steps_per_epoch
+        # Resume epoch: prefer the recorded epochs_done (exact even when
+        # batch size / dataset size changed between runs); fall back to
+        # the step-derived estimate for pre-metadata checkpoints.
+        if self.ckpt.epochs_done is not None:
+            start_epoch = int(self.ckpt.epochs_done)
+            if (self.ckpt.steps_per_epoch
+                    and self.ckpt.steps_per_epoch != steps_per_epoch):
+                print(f"[trainer] WARNING: epoch geometry changed since the "
+                      f"checkpoint ({self.ckpt.steps_per_epoch} -> "
+                      f"{steps_per_epoch} steps/epoch); resuming at epoch "
+                      f"{start_epoch} from the recorded epoch count")
+        else:
+            start_epoch = int(self.state.step) // steps_per_epoch
         global_step = int(self.state.step)
         last_val: Dict[str, float] = {}
         for epoch in range(start_epoch, num_epochs):
@@ -165,7 +177,8 @@ class Trainer:
             val_acc = val_summary.get("val_epoch/val_avg_acc")
             if val_acc is not None:
                 self.ckpt.maybe_save(self.state, val_acc)
-            self.ckpt.save_last(self.state)
+            self.ckpt.save_last(self.state, epochs_done=epoch + 1,
+                                steps_per_epoch=steps_per_epoch)
         return last_val
 
     def test(self, restore_best: bool = True) -> Dict[str, float]:

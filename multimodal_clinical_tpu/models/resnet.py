@@ -195,8 +195,12 @@ class ResNetEncoder(nn.Module):
     bn_fused: bool = False
     # block-level rematerialisation: None (save all residuals, XLA default),
     # "convs" (jax.checkpoint each BasicBlock, saving only conv outputs —
-    # BN-apply/ReLU recompute in backward, trading elementwise FLOPs for
-    # HBM activation traffic), or "none" (full recompute).  Math-identical.
+    # BN-apply/ReLU recompute in backward), or "none" (full recompute).
+    # Math-identical (tests/test_models.py).  MEASURED SLOWER on the
+    # VGGSound step (v5e: 164.7 / 184.8 vs 151.7 ms/step baseline,
+    # tools/remat_sweep.py): XLA's default residual schedule is already
+    # traffic-optimal here and the remat barriers only serialize it.  Kept
+    # for memory-bound configurations (larger batches / deeper nets).
     remat: Optional[str] = None
 
     @nn.compact

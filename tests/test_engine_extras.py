@@ -93,6 +93,24 @@ def test_exact_resume_continues_from_step(tmp_path):
     assert float(np.abs(np.asarray(trainer3.state.ema)).sum()) > 0
 
 
+def test_resume_epoch_survives_batch_size_change(tmp_path):
+    """Resume uses the RECORDED epoch count, not step // steps_per_epoch —
+    a changed batch size between runs must not replay or skip epochs."""
+    args = make_args(num_epochs=2, batch_size=16, ckpt_dir=str(tmp_path))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    assert trainer.ckpt.epochs_done == 2
+
+    # halved batch size doubles steps_per_epoch; the old step count would
+    # derive epoch 1 and replay — the recorded count resumes at epoch 2
+    args2 = make_args(num_epochs=2, batch_size=8, ckpt_dir=str(tmp_path))
+    trainer2, _ = build_trainer(avmnist, args2)
+    assert trainer2.resume()
+    step_before = int(trainer2.state.step)
+    trainer2.fit()  # must be a no-op: both epochs already done
+    assert int(trainer2.state.step) == step_before
+
+
 def test_multiseed_vmapped_sweep():
     from multimodal_clinical_tpu.engine.multiseed import run_multiseed
 

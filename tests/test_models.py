@@ -142,3 +142,34 @@ def test_stem_space_to_depth_matches_plain_conv():
                                                 (w - 1) // 2 + 1, 64)
         np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_s2d),
                                    atol=2e-5)
+
+
+def test_resnet_remat_is_math_identical():
+    """remat variants keep the param tree AND the loss/grads identical
+    (the remat wrapper is pinned to the BasicBlock_i naming)."""
+    import numpy as np
+    from multimodal_clinical_tpu.models.resnet import ResNetEncoder
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+
+    def loss_and_grads(remat):
+        enc = ResNetEncoder(dtype=jnp.float32, remat=remat)
+        v = enc.init(jax.random.PRNGKey(0), x, True)
+
+        def loss(p):
+            out, _ = enc.apply({"params": p,
+                                "batch_stats": v["batch_stats"]},
+                               x, True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(v["params"])
+
+    l0, g0 = loss_and_grads(None)
+    for remat in ("convs", "none"):
+        l1, g1 = loss_and_grads(remat)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)

@@ -28,18 +28,24 @@ enable_persistent_cache()
 # round 1 measured (10 iters, v5e): baseline 158.1ms; scoped_vmem 32768
 # -> 153.2, 65536 -> 152.2; experimental_fusion_cost_model REGRESSES
 # (167.0); others neutral.
+# round 2 (base = scoped_vmem 65536, the production option): sweep
+# scheduler/fusion/layout knobs; unknown option names COMPILE-FAIL and
+# are skipped harmlessly.
+_BASE = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 CANDIDATES = [
-    {"xla_tpu_scoped_vmem_limit_kib": "65536"},
-    {"xla_tpu_scoped_vmem_limit_kib": "98304"},
-    {"xla_tpu_scoped_vmem_limit_kib": "131072"},
-    {"xla_tpu_scoped_vmem_limit_kib": "65536",
-     "xla_tpu_rwb_fusion": "false"},
-    {"xla_tpu_scoped_vmem_limit_kib": "65536",
-     "xla_tpu_vmem_scavenging_mode": "aggressive"},
-    {"xla_tpu_scoped_vmem_limit_kib": "65536",
-     "xla_tpu_use_lp_llo_scheduler": "true"},
-    {"xla_tpu_scoped_vmem_limit_kib": "65536",
-     "xla_tpu_enable_multi_level_nested_loop_fusion": "true"},
+    dict(_BASE),
+    {"xla_tpu_scoped_vmem_limit_kib": "81920"},
+    {**_BASE, "xla_tpu_enable_latency_hiding_scheduler": "true"},
+    {**_BASE, "xla_tpu_memory_limit_slop_factor": "98"},
+    {**_BASE, "xla_tpu_enable_dot_strength_reduction": "false"},
+    {**_BASE, "xla_tpu_async_copy_bandwidth_scaling_factor": "1.0"},
+    {**_BASE, "xla_tpu_licm_size_inflation_ratio": "2"},
+    {**_BASE, "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true"},
+    {**_BASE, "xla_tpu_vector_load_fusion_window": "1024"},
+    {**_BASE, "xla_tpu_reduce_loop_fusion_dup_with_unfusable_user": "true"},
+    {**_BASE, "xla_tpu_enable_aggressive_broadcast_priority_update": "true"},
+    {**_BASE, "xla_tpu_dot_dot_fusion": "true"},
+    {**_BASE, "xla_tpu_perform_spmd_cse_prevention": "false"},
 ]
 
 
