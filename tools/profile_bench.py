@@ -23,7 +23,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int) -> None:
+def capture(out_dir: str, steps: int, s2d: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +47,8 @@ def capture(out_dir: str, steps: int) -> None:
                            learning_rate=1e-2, num_epochs=60,
                            use_scheduler=False, seed=0)
     spec = ModelSpec(
-        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16),
+        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16,
+                               stem_space_to_depth=s2d),
         contract="jprobas", device_preprocess=device_preprocess,
     )
     spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
@@ -154,9 +155,11 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/mmct_prof")
     ap.add_argument("--parse", metavar="DIR", default=None)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stems (per-op A/B)")
     a = ap.parse_args()
     if a.parse:
         parse(a.parse, a.top)
     else:
-        capture(a.out, a.steps)
+        capture(a.out, a.steps, s2d=a.s2d)
         parse(a.out, a.top)
