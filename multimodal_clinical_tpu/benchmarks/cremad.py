@@ -53,7 +53,14 @@ class CremadDiskDataset:
         self.items = items  # list of (clip_id, label)
         self.train = train
         self.labels = np.asarray([lab for _, lab in items], np.int32)
-        self._rng = np.random.default_rng(seed)
+        self._seed = int(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Augmentation stream epoch (forwarded by the Loader); draws are
+        stateless per (seed, epoch, sample index) so thread-parallel
+        gathers stay deterministic (data/core.sample_rng)."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.items)
@@ -61,7 +68,7 @@ class CremadDiskDataset:
     def _frame_names(self, frame_dir):
         return sorted(os.listdir(frame_dir))[: self.num_frames]
 
-    def _load_frames(self, clip_id: str) -> np.ndarray:
+    def _load_frames(self, clip_id: str, rng) -> np.ndarray:
         from ..data.imageops import load_frame_eval, load_frame_train
 
         frame_dir = os.path.join(self.data_dir, "image", clip_id)
@@ -69,7 +76,7 @@ class CremadDiskDataset:
         for name in self._frame_names(frame_dir):
             path = os.path.join(frame_dir, name)
             if self.train:
-                frames.append(load_frame_train(path, self._rng))
+                frames.append(load_frame_train(path, rng))
             else:
                 frames.append(load_frame_eval(path))
         while len(frames) < self.num_frames:
@@ -77,6 +84,8 @@ class CremadDiskDataset:
         return np.stack(frames)  # (num_frames, 224, 224, 3)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from ..data.core import sample_rng
+
         specs, frames, labels = [], [], []
         for i in indices:
             clip_id, label = self.items[int(i)]
@@ -84,7 +93,8 @@ class CremadDiskDataset:
                                    clip_id + ".pkl"), "rb") as f:
                 spec = pickle.load(f)
             specs.append(np.asarray(spec, np.float32)[..., None])
-            frames.append(self._load_frames(clip_id))
+            frames.append(self._load_frames(
+                clip_id, sample_rng(self._seed, self._epoch, int(i))))
             labels.append(label)
         return {
             "x1": np.stack(specs),

@@ -52,6 +52,31 @@ def _read_wav(path: str) -> np.ndarray:
     return (data / 32768.0).astype(np.float32)
 
 
+def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
+    """Clip audio at 16 kHz float mono: ``audio/<clip>.wav`` when the
+    offline wav extraction ran, else PCM streamed straight from
+    ``video/<clip>.mp4`` via the native demuxer (no ffmpeg stage —
+    utils/native.read_mp4_pcm_mono)."""
+    wav_path = os.path.join(data_dir, "audio", clip_id + ".wav")
+    if os.path.exists(wav_path):
+        return _read_wav(wav_path)
+    from ..utils.native import read_mp4_pcm_mono
+
+    for ext in (".mp4", ".mov"):
+        path = os.path.join(data_dir, "video", clip_id + ext)
+        if os.path.exists(path):
+            audio, sr = read_mp4_pcm_mono(path)
+            if sr != SR and len(audio) > 1:
+                n_out = int(len(audio) * SR / sr)
+                audio = np.interp(np.linspace(0, len(audio) - 1, n_out),
+                                  np.arange(len(audio)),
+                                  audio).astype(np.float32)
+            return audio
+    raise FileNotFoundError(
+        f"no audio for {clip_id}: neither audio/{clip_id}.wav nor "
+        f"video/{clip_id}.mp4 under {data_dir}")
+
+
 class VGGSoundDiskDataset:
     """Host side: raw waveform crop + frame decode; DSP happens on device."""
 
@@ -62,29 +87,36 @@ class VGGSoundDiskDataset:
         self.train = train
         self.use_video_frames = use_video_frames
         self.labels = np.asarray([l for _, l in items], np.int32)
-        self._rng = np.random.default_rng(seed)
+        self._seed = int(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Stateless per-(seed, epoch, index) augmentation draws — see
+        data/core.sample_rng; enables thread-parallel gathers."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         return len(self.items)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from ..data.core import sample_rng
         from ..data.imageops import load_frame_eval, load_frame_train
 
         waves, frames, labels = [], [], []
         for i in indices:
+            rng = sample_rng(self._seed, self._epoch, int(i))
             clip_id, label = self.items[int(i)]
-            wav = _read_wav(os.path.join(self.data_dir, "audio",
-                                         clip_id + ".wav"))
+            wav = _read_audio(self.data_dir, clip_id)
             while len(wav) < SR * 10:
                 wav = np.tile(wav, 2)
-            start = self._rng.integers(0, SR * 5 + 1) if self.train else 0
+            start = rng.integers(0, SR * 5 + 1) if self.train else 0
             crop = np.clip(wav[start:start + SR * CROP_SEC], -1.0, 1.0)
             waves.append(crop)
 
             frame_dir = os.path.join(self.data_dir, "frames", clip_id)
             names = sorted(os.listdir(frame_dir))
             # random frame choice in BOTH modes (vggsound/get_data.py:148-152)
-            picks = np.sort(self._rng.choice(
+            picks = np.sort(rng.choice(
                 len(names), self.use_video_frames,
                 replace=len(names) < self.use_video_frames))
             fs = []
@@ -93,7 +125,7 @@ class VGGSoundDiskDataset:
                 # reference transforms (get_data.py:131-143): train
                 # RandomResizedCrop+flip, eval Resize; ImageNet normalize
                 if self.train:
-                    fs.append(load_frame_train(fpath, self._rng))
+                    fs.append(load_frame_train(fpath, rng))
                 else:
                     fs.append(load_frame_eval(fpath))
             frames.append(np.stack(fs))
@@ -123,8 +155,10 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
                 class_map.setdefault(cls, len(class_map))
             if cls not in class_map:
                 continue
-            if os.path.exists(os.path.join(data_dir, "audio",
-                                           clip_id + ".wav")):
+            if (os.path.exists(os.path.join(data_dir, "audio",
+                                            clip_id + ".wav"))
+                    or os.path.exists(os.path.join(data_dir, "video",
+                                                   clip_id + ".mp4"))):
                 items.append((clip_id, class_map[cls]))
     return items
 

@@ -39,3 +39,17 @@ class ArrayDataset:
         out = {f"x{i + 1}": m[idx] for i, m in enumerate(self.modalities)}
         out["label"] = self.labels[idx]
         return out
+
+
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    """Stateless per-(seed, epoch, index) Generator for host-side
+    augmentation draws (random crop/flip/frame choice).
+
+    The reference's torch DataLoader draws from per-worker global streams,
+    so its augmentations depend on the worker schedule.  Deriving a fresh
+    SeedSequence per sample makes every draw reproducible under ANY loader
+    ``workers`` split and lets disk gathers run thread-parallel.
+    """
+    return np.random.default_rng(
+        (int(seed) & 0x7FFFFFFF, int(epoch) & 0x7FFFFFFF,
+         int(index) & 0x7FFFFFFF))

@@ -48,7 +48,8 @@ class Food101LegacyDiskDataset:
         self.train = split == "train"
         self.max_len = int(getattr(args, "max_seq_len", 512))
         self.vocab_size = int(getattr(args, "legacy_bert_vocab", 30522))
-        self._rng = np.random.default_rng(int(getattr(args, "seed", 0)))
+        self._seed = int(getattr(args, "seed", 0))
+        self._epoch = 0
         self._tokenizer = load_tokenizer(args)
         if self._tokenizer is None:
             print("[food101-legacy] no local vocab.txt; "
@@ -76,7 +77,11 @@ class Food101LegacyDiskDataset:
                for tok in text.split()][: self.max_len]
         return np.asarray(ids + [0] * (self.max_len - len(ids)), np.int32)
 
-    def _load_image(self, name: str) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        """Stateless per-(seed, epoch, index) flip draws (data/core.sample_rng)."""
+        self._epoch = int(epoch)
+
+    def _load_image(self, name: str, rng) -> np.ndarray:
         from PIL import Image
 
         path = os.path.join(self.data_dir, "images", self.split,
@@ -84,15 +89,18 @@ class Food101LegacyDiskDataset:
         img = Image.open(path).convert("RGB").resize((224, 224),
                                                      Image.BILINEAR)
         out = np.asarray(img, np.float32) / 255.0
-        if self.train and self._rng.random() < 0.5:
+        if self.train and rng.random() < 0.5:
             out = out[:, ::-1]
         return ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from .core import sample_rng
+
         imgs, toks, labels = [], [], []
         for i in indices:
             name, text, food = self.items[int(i)]
-            imgs.append(self._load_image(name))
+            imgs.append(self._load_image(
+                name, sample_rng(self._seed, self._epoch, int(i))))
             toks.append(self._tokenize(text))
             labels.append(self._food2idx[food])
         return {

@@ -10,10 +10,11 @@ stream (QMF's History addressing, existing_algos/QMF.py:20-29), and
 overlaps the next batch's host work + H2D transfer with the current
 device step via a background producer thread.
 
-``workers > 1`` splits each batch's gather across a thread pool — only
-safe for datasets whose ``gather`` is thread-safe/stateless (the in-memory
-``ArrayDataset`` twins and any disk dataset using per-index rng); the
-default of 1 preserves exact gather order and stateful-rng determinism.
+``workers > 1`` splits each batch's gather across a thread pool.  Every
+dataset's ``gather`` is stateless: in-memory twins are vectorized takes
+and the disk datasets derive augmentation rng per (seed, epoch, index)
+(data/core.sample_rng), so results are identical under any worker split
+— decode (native libjpeg releases the GIL) runs truly parallel.
 """
 
 from __future__ import annotations
@@ -75,6 +76,10 @@ class Loader:
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
+        # disk datasets derive per-(seed, epoch, index) augmentation rng
+        # (data/core.sample_rng) — forward the epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
 
     def __len__(self) -> int:
         return -(-len(self.sampler) // self.batch_size)

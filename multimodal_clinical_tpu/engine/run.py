@@ -61,9 +61,10 @@ def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]
     if pc > 1 and bs % pc != 0:
         raise ValueError(f"batch_size {bs} not divisible by process count {pc}")
     seed = int(getattr(args, "seed", 0))
+    # disk gathers are stateless (per-(seed, epoch, index) augmentation
+    # rng — data/core.sample_rng) so any worker count yields identical
+    # batches; workers parallelize JPEG decode (GIL-releasing native path)
     workers = int(getattr(args, "loader_workers", 1) or 1)
-    if workers > 1 and not data.synthetic:
-        workers = 1  # disk datasets carry stateful rng; keep gathers ordered
 
     def loader(split, kind, seed_offset):
         return Loader(split, per_host_bs,

@@ -256,6 +256,46 @@ class Mp4File:
         return buf[:total]
 
 
+#: MP4 PCM audio codecs the native demuxer can decode (fourcc -> dtype);
+#: compressed codecs (mp4a/AAC) still need ffmpeg.
+PCM_MP4_CODECS = {"sowt": "<i2", "twos": ">i2", "lpcm": "<i2", "raw ": "u1"}
+
+
+def read_mp4_pcm_mono(path: str) -> Tuple[np.ndarray, int]:
+    """Decode the first PCM audio track of an MP4/MOV to float32 mono.
+
+    Returns ``(audio, sample_rate)``; raises ``ValueError`` naming the
+    codec when the track is compressed (the ffmpeg-required case).  The
+    data-path replacement for the reference's offline ffmpeg extraction
+    (vggsound/mp4_to_wav.py:26-44) — adapters can stream straight from
+    the container, no intermediate .wav needed.
+    """
+    with Mp4File(path) as m:
+        tracks = [i for i, t in enumerate(m.tracks)
+                  if t["handler"] == "soun"]
+        if not tracks:
+            raise ValueError(f"{path}: no audio track")
+        t = tracks[0]
+        tr = m.tracks[t]
+        codec = tr["codec"]
+        dtype = PCM_MP4_CODECS.get(codec)
+        if dtype is None:
+            raise ValueError(
+                f"{path}: audio codec {codec!r} needs ffmpeg (native path "
+                "decodes PCM only)")
+        raw = m.read_range(t, 0, tr["n_samples"]).tobytes()
+        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if dtype == "u1":
+            data = (data - 128.0) / 128.0
+        else:
+            data = data / 32768.0
+        ch = max(tr["channels"], 1)
+        if ch > 1:
+            data = data[: len(data) // ch * ch].reshape(-1, ch).mean(axis=1)
+        sr = tr["sample_rate"] or tr["timescale"] or 16000
+        return data.astype(np.float32), int(sr)
+
+
 def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:
     """Interleaved int16 -> float32 mono in [-1, 1]; None if unavailable."""
     lib = _load()

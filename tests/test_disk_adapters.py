@@ -112,3 +112,47 @@ def test_cremad_train_vs_eval_transforms(tmp_path):
                             seed=9).gather(np.array([0]))
     np.testing.assert_allclose(eb["x2"], eb2["x2"], atol=1e-6)
     assert not np.allclose(tb["x2"], eb["x2"], atol=1e-3)
+
+
+def test_cremad_gather_worker_invariant(tmp_path):
+    """Augmentation rng is stateless per (seed, epoch, index)
+    (data/core.sample_rng): any Loader worker split and any gather
+    chunking produce identical batches; epochs change the draws."""
+    from multimodal_clinical_tpu.benchmarks.cremad import CremadDiskDataset
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+
+    d = tmp_path
+    os.makedirs(d / "audio_spec")
+    items = []
+    for i in range(8):
+        clip = f"clip{i}"
+        with open(d / "audio_spec" / f"{clip}.pkl", "wb") as f:
+            pickle.dump(np.full((64, 80), i, np.float32), f)
+        _write_frames(str(d / "image" / clip), 3, size=(300, 260))
+        items.append((clip, i % 6))
+
+    def epoch_batches(workers, epoch):
+        ds = CremadDiskDataset(str(d), items, train=True, seed=3)
+        loader = Loader(ds, 4, SequentialSampler(len(items)),
+                        workers=workers)
+        loader.set_epoch(epoch)
+        return [{k: np.asarray(v) for k, v in b.items()} for b in loader]
+
+    a = epoch_batches(workers=1, epoch=0)
+    b = epoch_batches(workers=4, epoch=0)
+    assert len(a) == len(b) == 2
+    for ba, bb in zip(a, b):
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+    # whole-batch gather (no loader chunking) agrees too
+    ds = CremadDiskDataset(str(d), items, train=True, seed=3)
+    ds.set_epoch(0)
+    whole = ds.gather(np.arange(8))
+    np.testing.assert_array_equal(
+        whole["x2"], np.concatenate([a[0]["x2"], a[1]["x2"]], axis=0))
+
+    # a different epoch re-draws the augmentations
+    c = epoch_batches(workers=1, epoch=1)
+    assert not np.allclose(a[0]["x2"], c[0]["x2"], atol=1e-3)

@@ -251,3 +251,29 @@ def test_unsupported_codec_message(tmp_path):
         sys.path.pop(0)
     with pytest.raises(RuntimeError, match="avc1.*ffmpeg"):
         pp._native_video_frames(path, str(tmp_path), 1.0, None)
+
+
+def test_vggsound_streams_audio_from_mp4(tmp_path):
+    """The adapter falls back to PCM-from-mp4 via the native demuxer when
+    no offline wav extraction exists (benchmarks/vggsound._read_audio)."""
+    from multimodal_clinical_tpu.benchmarks.vggsound import SR, _read_audio
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.normal(scale=0.2, size=SR * 2) * 20000).astype(np.int16)
+    os.makedirs(tmp_path / "video")
+    write_mp4(str(tmp_path / "video" / "abc_0.mp4"), [_jpeg(0)], 1.0,
+              pcm, channels=1, rate=SR)
+    audio = _read_audio(str(tmp_path), "abc_0")
+    np.testing.assert_allclose(audio, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+    # wav takes precedence when present
+    os.makedirs(tmp_path / "audio")
+    with wave.open(str(tmp_path / "audio" / "abc_0.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes((pcm // 2).tobytes())
+    audio2 = _read_audio(str(tmp_path), "abc_0")
+    np.testing.assert_allclose(audio2, (pcm // 2).astype(np.float32)
+                               / 32768.0, atol=1e-6)
