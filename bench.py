@@ -91,6 +91,7 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4):
             num_classes=6, batch_size=batch, learning_rate=1e-3,
             num_epochs=100, use_scheduler=True, seed=0, data_path=root + "/",
             model_type="jlogits", mesh_shape=None, compute_dtype="bfloat16",
+            loader_workers=4,
         )
         data = cremad.get_data(args)
         assert not data.synthetic
@@ -124,6 +125,51 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4):
         return batch * steps / wall
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_cremad_compute(batch=64, steps=16, warmup=4):
+    """Compute-only Crema-D train step (jlogits, reference geometry:
+    cremad.yaml bs 64, (257, 1004) spectrogram + 3 frames) — the chip-side
+    half of the BASELINE.json Crema-D metric, reported next to the
+    loader-in-loop number so host- vs chip-bound is visible (this image's
+    host is a single core; production TPU hosts have dozens)."""
+    from multimodal_clinical_tpu.benchmarks.cremad import CremadFusionNet
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+
+    num_classes = 6
+    rng = np.random.default_rng(0)
+    spec_in = rng.normal(size=(batch, 257, 1004, 1)).astype(np.float32)
+    frames = rng.normal(size=(batch, 3, 224, 224, 3)).astype(np.float32)
+    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=1e-3, num_epochs=100,
+                           use_scheduler=True, seed=0)
+    spec = ModelSpec(module=CremadFusionNet(num_classes=num_classes,
+                                            dtype=jnp.bfloat16),
+                     contract="jlogits")
+    state = create_train_state(
+        spec, args, jax.random.PRNGKey(0),
+        [jnp.asarray(spec_in[:2]), jnp.asarray(frames[:2])],
+        steps_per_epoch=100)
+    batch_dict = {
+        "x1": jax.device_put(spec_in),
+        "x2": jax.device_put(frames),
+        "label": jax.device_put(label),
+        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
+        "valid": jax.device_put(np.ones(batch, np.float32)),
+    }
+    train_step = make_train_step(spec)
+    metrics = None
+    for _ in range(warmup):
+        state, metrics = train_step(state, batch_dict)
+    float(metrics["train_loss"])
+    tic = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch_dict)
+    float(metrics["train_loss"])
+    return batch * steps / (time.perf_counter() - tic)
 
 
 def bench_food101_e2e(batch=128, steps=12, warmup=3):
@@ -164,6 +210,7 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
             num_classes=101, batch_size=batch, learning_rate=0.02,
             num_epochs=60, use_scheduler=True, seed=0, data_path=root + "/",
             model_type="jlogits", mesh_shape=None, compute_dtype="bfloat16",
+            loader_workers=4,
         )
         data = food101.get_data(args)
         assert not data.synthetic
@@ -192,7 +239,7 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main(batch=224, warmup=3, iters=12):
+def main(batch=224, warmup=3, iters=20):
     from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
     from multimodal_clinical_tpu.engine.spec import ModelSpec
     from multimodal_clinical_tpu.engine.state import create_train_state
@@ -244,7 +291,9 @@ def main(batch=224, warmup=3, iters=12):
     # BASELINE.json metric datasets.  Never allowed to sink the headline.
     extra = {}
     if os.environ.get("MMCT_BENCH_E2E", "1") != "0":
-        for key, fn in (("cremad_e2e_samples_per_sec", bench_cremad_e2e),
+        for key, fn in (("cremad_compute_samples_per_sec",
+                         bench_cremad_compute),
+                        ("cremad_e2e_samples_per_sec", bench_cremad_e2e),
                         ("food101_e2e_samples_per_sec", bench_food101_e2e)):
             try:
                 extra[key] = round(fn(), 2)

@@ -56,13 +56,22 @@ class Loader:
     """
 
     def __init__(self, dataset, batch_size: int, sampler, mesh=None,
-                 prefetch: int = 2, workers: int = 1):
+                 prefetch: int = 2, workers: int = 1,
+                 transfer_dtype=None):
+        from ..utils.hostmem import warm_heap
+
+        warm_heap()  # batch stacking is first-touch-bound on this VM
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.sampler = sampler
         self.mesh = mesh
         self.prefetch = max(1, int(prefetch))
         self.workers = max(1, int(workers))
+        # halve H2D bytes when the model computes in bf16 anyway: float32
+        # feature keys (x*, except raw waveforms — the Pallas STFT wants
+        # f32) are cast on host before device_put.  Math-identical: the
+        # encoder stems cast to the compute dtype as their first op.
+        self.transfer_dtype = transfer_dtype
         self._epoch = 0
         self._sharding = None
         if mesh is not None:
@@ -107,11 +116,19 @@ class Loader:
             yield _pad_batch(self._gather(chunk), idx_padded, bs, valid_n)
 
     # -- device side ---------------------------------------------------
+    def _transfer_cast(self, key: str, arr: np.ndarray) -> np.ndarray:
+        if (self.transfer_dtype is None or arr.dtype != np.float32
+                or not key.startswith("x") or key.endswith("_waveform")):
+            return arr
+        return arr.astype(self.transfer_dtype)
+
     def _put(self, batch: Dict[str, np.ndarray]):
         if self._sharding is not None:
-            return {k: jax.device_put(v, self._sharding)
+            return {k: jax.device_put(self._transfer_cast(k, v),
+                                      self._sharding)
                     for k, v in batch.items()}
-        return {k: jax.device_put(v) for k, v in batch.items()}
+        return {k: jax.device_put(self._transfer_cast(k, v))
+                for k, v in batch.items()}
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -65,11 +65,20 @@ def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]
     # rng — data/core.sample_rng) so any worker count yields identical
     # batches; workers parallelize JPEG decode (GIL-releasing native path)
     workers = int(getattr(args, "loader_workers", 1) or 1)
+    # bf16 feature transfer (half the H2D bytes) when the model computes
+    # in bf16 anyway; config key transfer_dtype=float32 opts out
+    transfer_dtype = None
+    if (getattr(args, "compute_dtype", None) == "bfloat16"
+            and getattr(args, "transfer_dtype", "auto") != "float32"):
+        import ml_dtypes
+
+        transfer_dtype = ml_dtypes.bfloat16
 
     def loader(split, kind, seed_offset):
         return Loader(split, per_host_bs,
                       _make_sampler(kind, split, seed + seed_offset, pi, pc),
-                      mesh=mesh, workers=workers)
+                      mesh=mesh, workers=workers,
+                      transfer_dtype=transfer_dtype)
 
     return (
         loader(data.train, data.train_sampler, 0),

@@ -11,6 +11,11 @@ import os
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    # process-level host setup rides along: glibc arena tuning for the
+    # lazy-memory VM (utils/hostmem.py — 600x on first-touch-bound stacks)
+    from .hostmem import warm_heap
+
+    warm_heap()
     import jax
 
     cache_dir = cache_dir or os.environ.get(

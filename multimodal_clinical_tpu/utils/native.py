@@ -60,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
     ]
     lib.decode_jpeg_resize.restype = ctypes.c_int
+    if hasattr(lib, "decode_jpeg_crop_resize"):
+        lib.decode_jpeg_crop_resize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.decode_jpeg_crop_resize.restype = ctypes.c_int
     lib.jpeg_dims.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -145,6 +152,30 @@ def decode_jpeg(path_or_bytes, out_h: int, out_w: int
     rc = lib.decode_jpeg_resize(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
         out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_jpeg_crop(path_or_bytes, box, out_h: int, out_w: int
+                     ) -> Optional[np.ndarray]:
+    """Decode, crop ``box = (left, top, right, bottom)`` in original pixel
+    coords, and bilinear-resize the crop to (out_h, out_w) — the
+    RandomResizedCrop decode path, GIL-free in C++ so loader workers scale.
+    Returns float32 RGB HWC in [0, 1] or None (callers fall back to PIL).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "decode_jpeg_crop_resize"):
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = np.frombuffer(bytes(path_or_bytes), np.uint8)
+    else:
+        data = np.fromfile(path_or_bytes, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.float32)
+    left, top, right, bottom = (int(v) for v in box)
+    rc = lib.decode_jpeg_crop_resize(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        left, top, right, bottom, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out if rc == 0 else None

@@ -5,6 +5,7 @@ import os
 from types import SimpleNamespace
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -107,3 +108,54 @@ def test_default_backend_is_orbax_when_available(tmp_path):
 
     ck = BestCheckpointer(str(tmp_path))
     assert ck.backend == "orbax"
+
+
+def test_loader_bf16_transfer_cast():
+    """transfer_dtype casts float32 x* features (not waveforms, labels,
+    valid) before device_put — half the H2D bytes, math-identical to the
+    stem's own cast."""
+    import ml_dtypes
+
+    from multimodal_clinical_tpu.data.core import ArrayDataset
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+
+    n = 8
+    ds = ArrayDataset([np.random.default_rng(0).normal(size=(n, 4, 3))
+                       .astype(np.float32),
+                       np.arange(n * 2, dtype=np.float32).reshape(n, 2)],
+                      labels=np.arange(n, dtype=np.int32))
+    loader = Loader(ds, 4, SequentialSampler(n),
+                    transfer_dtype=ml_dtypes.bfloat16)
+    batch = next(iter(loader))
+    assert str(batch["x1"].dtype) == "bfloat16"
+    assert str(batch["x2"].dtype) == "bfloat16"
+    assert batch["label"].dtype == jnp.int32
+    assert batch["valid"].dtype == jnp.float32
+    # values equal the bf16 rounding of the originals
+    want = np.asarray(ds.modalities[0][:4]).astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(np.asarray(batch["x1"]), want)
+
+
+def test_loader_waveform_stays_f32():
+    import ml_dtypes
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+
+    class WaveDS:
+        labels = np.zeros(4, np.int32)
+
+        def __len__(self):
+            return 4
+
+        def gather(self, idx):
+            return {"x1_waveform": np.zeros((len(idx), 16), np.float32),
+                    "x2": np.zeros((len(idx), 3, 3), np.float32),
+                    "label": self.labels[idx]}
+
+    loader = Loader(WaveDS(), 4, SequentialSampler(4),
+                    transfer_dtype=ml_dtypes.bfloat16)
+    batch = next(iter(loader))
+    assert batch["x1_waveform"].dtype == jnp.float32  # Pallas STFT input
+    assert str(batch["x2"].dtype) == "bfloat16"

@@ -118,3 +118,46 @@ def test_jpeg_dims_header_probe():
     img.save(buf, format="JPEG")
     assert native.jpeg_dims(buf.getvalue()) == (200, 320)
     assert native.jpeg_dims(b"garbage") is None
+
+
+@needs_native
+def test_decode_jpeg_crop_matches_pil():
+    """Native crop+resize vs PIL box-resize: same crop semantics
+    (distributional tolerance — decode/resample engines differ)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (180, 260, 3), dtype=np.uint8).astype(
+        np.uint8)
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    data = buf.getvalue()
+
+    box = (30, 20, 190, 140)  # left, top, right, bottom
+    got = native.decode_jpeg_crop(data, box, 96, 96)
+    assert got is not None and got.shape == (96, 96, 3)
+    want = np.asarray(
+        Image.open(io.BytesIO(data)).convert("RGB").resize(
+            (96, 96), Image.BILINEAR, box=box),
+        np.float32) / 255.0
+    diff = np.abs(got - want)
+    assert diff.mean() < 0.02
+    assert np.quantile(diff, 0.99) < 0.15
+
+
+@needs_native
+def test_decode_jpeg_crop_degenerate_box():
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (64, 64), (10, 200, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    # tiny 1x1 crop upscaled: all pixels ~ the solid color
+    out = native.decode_jpeg_crop(buf.getvalue(), (10, 10, 11, 11), 32, 32)
+    assert out is not None
+    assert np.abs(out - out[0, 0]).max() < 0.05
