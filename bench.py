@@ -74,7 +74,14 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4):
     metric is the END-TO-END step: host decode + transforms + H2D + the
     jitted train step; the reference's 392 samples/s VGGSound number is
     likewise DataLoader-overlapped).  Reported next to the compute-only
-    number; the corpus is synthetic-on-disk (no dataset in this image)."""
+    number; the corpus is synthetic-on-disk (no dataset in this image).
+
+    CAVEAT (this image): the single-core host and the ~50 MB/s remote-TPU
+    tunnel bound this number, not the framework — the 91 MB bf16 batch
+    alone is ~1.8 s of H2D.  Measured ~35 samples/s here vs 748
+    compute-only; on a real TPU host (local PCIe, dozens of cores) the
+    loader path scales with `loader_workers` (stateless per-sample rng,
+    GIL-releasing native decode)."""
     import shutil
     import tempfile
 

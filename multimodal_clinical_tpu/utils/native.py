@@ -95,6 +95,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.mp4_read_range.restype = ctypes.c_int64
+        lib.mp4_range_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+        lib.mp4_range_bytes.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -276,8 +279,9 @@ class Mp4File:
 
     def read_range(self, track: int, i0: int, i1: int) -> np.ndarray:
         """Concatenated raw bytes of samples [i0, i1) (PCM bulk path)."""
-        total = sum(self._lib.mp4_sample_size(self._h, track, i)
-                    for i in range(i0, i1))
+        total = int(self._lib.mp4_range_bytes(self._h, track, i0, i1))
+        if total < 0:
+            raise IndexError(f"range [{i0}, {i1}) of track {track}")
         buf = np.empty(max(total, 1), np.uint8)
         got = self._lib.mp4_read_range(
             self._h, track, i0, i1,

@@ -341,6 +341,18 @@ int64_t mp4_read_sample(void* h, int t, int64_t i, uint8_t* buf, int64_t cap) {
   return sz;
 }
 
+// Total bytes of samples [i0, i1) — sized buffer allocation without a
+// per-sample FFI round trip (PCM tracks have one sample per frame).
+int64_t mp4_range_bytes(void* h, int t, int64_t i0, int64_t i1) {
+  Mp4* mp4 = (Mp4*)h;
+  if (t < 0 || t >= (int)mp4->tracks.size()) return -1;
+  const SampleIndex& s = mp4->tracks[t].samples;
+  if (i0 < 0 || i1 > (int64_t)s.size.size() || i0 > i1) return -1;
+  int64_t total = 0;
+  for (int64_t i = i0; i < i1; ++i) total += s.size[i];
+  return total;
+}
+
 // Concatenated samples [i0, i1) — the bulk path for PCM audio tracks.
 int64_t mp4_read_range(void* h, int t, int64_t i0, int64_t i1, uint8_t* buf,
                        int64_t cap) {
