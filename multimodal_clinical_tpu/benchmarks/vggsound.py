@@ -52,29 +52,57 @@ def _read_wav(path: str) -> np.ndarray:
     return (data / 32768.0).astype(np.float32)
 
 
+_VIDEO_EXTS = (".mp4", ".mov")
+
+
 def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
     """Clip audio at 16 kHz float mono: ``audio/<clip>.wav`` when the
     offline wav extraction ran, else PCM streamed straight from
-    ``video/<clip>.mp4`` via the native demuxer (no ffmpeg stage —
+    ``video/<clip>.mp4|.mov`` via the native demuxer (no ffmpeg stage —
     utils/native.read_mp4_pcm_mono)."""
     wav_path = os.path.join(data_dir, "audio", clip_id + ".wav")
     if os.path.exists(wav_path):
         return _read_wav(wav_path)
-    from ..utils.native import read_mp4_pcm_mono
+    from ..utils.native import read_mp4_pcm_mono, resample_linear
 
-    for ext in (".mp4", ".mov"):
+    for ext in _VIDEO_EXTS:
         path = os.path.join(data_dir, "video", clip_id + ext)
         if os.path.exists(path):
             audio, sr = read_mp4_pcm_mono(path)
-            if sr != SR and len(audio) > 1:
-                n_out = int(len(audio) * SR / sr)
-                audio = np.interp(np.linspace(0, len(audio) - 1, n_out),
-                                  np.arange(len(audio)),
-                                  audio).astype(np.float32)
-            return audio
+            return resample_linear(audio, sr, SR)
     raise FileNotFoundError(
         f"no audio for {clip_id}: neither audio/{clip_id}.wav nor "
         f"video/{clip_id}.mp4 under {data_dir}")
+
+
+def _mp4_streamable(data_dir: str) -> bool:
+    """One-shot probe: can clips stream audio straight from the container?
+    Checks the FIRST video/*.mp4|.mov (datasets are codec-homogeneous):
+    admitting compressed-audio mp4s would crash mid-epoch at gather time,
+    so clips without extracted wavs are only admitted when the probe says
+    the native PCM path works."""
+    from ..utils.native import PCM_MP4_CODECS, Mp4File
+
+    video_dir = os.path.join(data_dir, "video")
+    if not os.path.isdir(video_dir):
+        return False
+    for name in sorted(os.listdir(video_dir)):
+        if not name.endswith(_VIDEO_EXTS):
+            continue
+        try:
+            with Mp4File(os.path.join(video_dir, name)) as m:
+                codecs = [t["codec"] for t in m.tracks
+                          if t["handler"] == "soun"]
+        except Exception:
+            return False
+        ok = bool(codecs) and codecs[0] in PCM_MP4_CODECS
+        if not ok:
+            print(f"[vggsound] video/{name}: audio codec "
+                  f"{codecs[0] if codecs else 'none'!r} not PCM — "
+                  "mp4-direct streaming disabled (extract wavs via "
+                  "tools/preprocess.py mp4-to-wav)")
+        return ok
+    return False
 
 
 class VGGSoundDiskDataset:
@@ -140,10 +168,16 @@ class VGGSoundDiskDataset:
 
 
 def _read_csv_items(data_dir: str, csv_name: str, split: str,
-                    class_map: dict):
+                    class_map: dict, mp4_ok: bool = False):
     """Rows of one split mapped through a SHARED class map.  The reference
     derives class ids from the train split and maps both splits through it
-    (vggsound/get_data.py:88-101); the map is grown in train-row order."""
+    (vggsound/get_data.py:88-101); the map is grown in train-row order.
+
+    A clip is admitted when its wav exists (reference behavior), or —
+    when ``mp4_ok`` (the container audio is native-streamable, see
+    ``_mp4_streamable``) — when both video/<clip>.mp4|.mov AND the
+    extracted frames/<clip>/ dir exist, so admission implies gather
+    cannot fail."""
     items = []
     path = os.path.join(data_dir, csv_name)
     with open(path) as f:
@@ -155,10 +189,14 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
                 class_map.setdefault(cls, len(class_map))
             if cls not in class_map:
                 continue
-            if (os.path.exists(os.path.join(data_dir, "audio",
-                                            clip_id + ".wav"))
-                    or os.path.exists(os.path.join(data_dir, "video",
-                                                   clip_id + ".mp4"))):
+            ok = os.path.exists(os.path.join(data_dir, "audio",
+                                             clip_id + ".wav"))
+            if not ok and mp4_ok:
+                ok = any(os.path.exists(os.path.join(
+                    data_dir, "video", clip_id + ext))
+                    for ext in _VIDEO_EXTS) and os.path.isdir(
+                        os.path.join(data_dir, "frames", clip_id))
+            if ok:
                 items.append((clip_id, class_map[cls]))
     return items
 
@@ -170,10 +208,11 @@ def get_data(args) -> DataBundle:
         seed = int(getattr(args, "seed", 0))
         nframes = int(getattr(args, "use_video_frames", 4))
         class_map: dict = {}
+        mp4_ok = _mp4_streamable(data_dir)
         train_items = _read_csv_items(data_dir, "vggsound.csv", "train",
-                                      class_map)
+                                      class_map, mp4_ok)
         test_items = _read_csv_items(data_dir, "vggsound.csv", "test",
-                                     class_map)
+                                     class_map, mp4_ok)
         train = VGGSoundDiskDataset(data_dir, train_items, True, nframes,
                                     seed)
         test = VGGSoundDiskDataset(data_dir, test_items, False, nframes,

@@ -90,42 +90,35 @@ def load_frame_train(path: str, rng: np.random.Generator,
                      size: int = 224) -> np.ndarray:
     """RandomResizedCrop(size) + horizontal flip (p=0.5) + normalize.
 
-    Decode prefers the native crop-path (header-only dims probe + libjpeg
-    decode_jpeg_crop_resize — GIL-free, so loader workers scale); PIL
-    box-resize otherwise.  The rng draw order (crop box, then flip) is
-    identical on both paths.
+    Decode prefers the native crop-path (one file read shared between the
+    header dims probe and libjpeg decode_jpeg_crop_resize — GIL-free, so
+    loader workers scale); PIL box-resize otherwise.  The rng draw order
+    (crop box, then flip) is identical on both paths.
     """
+    data = None
+    dims = None
     try:
         from ..utils import native
 
-        dims = native.jpeg_dims(path)
+        with open(path, "rb") as f:
+            data = f.read()
+        dims = native.jpeg_dims(data)
     except Exception:
         dims = None
+    out = None
+    box = None
     if dims is not None:
         height, width = dims
         box = random_resized_crop_box(rng, width, height)
-        out = native.decode_jpeg_crop(path, box, size, size)
-        if out is not None:
-            if rng.random() < 0.5:
-                out = out[:, ::-1]
-            return _normalize(out)
-        # native decode failed mid-way: fall through WITHOUT redrawing the
-        # box (rng already advanced) — reuse it on the PIL path
+        out = native.decode_jpeg_crop(data, box, size, size)
+    if out is None:
         from PIL import Image
 
         img = _pil_open(path)
+        if box is None:  # dims probe failed: draw against PIL's dims
+            box = random_resized_crop_box(rng, img.width, img.height)
         img = img.resize((size, size), Image.BILINEAR, box=box)
         out = np.asarray(img, np.float32) / 255.0
-        if rng.random() < 0.5:
-            out = out[:, ::-1]
-        return _normalize(out)
-
-    from PIL import Image
-
-    img = _pil_open(path)
-    box = random_resized_crop_box(rng, img.width, img.height)
-    img = img.resize((size, size), Image.BILINEAR, box=box)
-    out = np.asarray(img, np.float32) / 255.0
     if rng.random() < 0.5:
         out = out[:, ::-1]
     return _normalize(out)

@@ -81,8 +81,13 @@ class BestCheckpointer:
         # geometry they were measured in.  Deriving the epoch from
         # step // steps_per_epoch alone mis-resumes when batch size or
         # dataset size changed between runs (trainer guards on these).
+        # meta_step stamps which checkpoint step the metadata describes:
+        # the async state save may not have committed when a crash hits,
+        # so resume trusts epochs_done only when meta_step matches the
+        # restored step (crash consistency).
         self.epochs_done: Optional[int] = None
         self.steps_per_epoch: Optional[int] = None
+        self.meta_step: Optional[int] = None
         self.keep_last = max(1, int(keep_last))
         os.makedirs(ckpt_dir, exist_ok=True)
         if backend == "auto":
@@ -151,7 +156,8 @@ class BestCheckpointer:
         with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
             json.dump({"best_metric": self.best_metric,
                        "epochs_done": self.epochs_done,
-                       "steps_per_epoch": self.steps_per_epoch}, f)
+                       "steps_per_epoch": self.steps_per_epoch,
+                       "meta_step": self.meta_step}, f)
 
     def _read_meta(self) -> None:
         import json
@@ -163,6 +169,7 @@ class BestCheckpointer:
             self.best_metric = float(meta["best_metric"])
             self.epochs_done = meta.get("epochs_done")
             self.steps_per_epoch = meta.get("steps_per_epoch")
+            self.meta_step = meta.get("meta_step")
 
     # -- public API --------------------------------------------------------
     def maybe_save(self, state: TrainState, metric: float) -> bool:
@@ -200,6 +207,7 @@ class BestCheckpointer:
             self.epochs_done = int(epochs_done)
             self.steps_per_epoch = (int(steps_per_epoch)
                                     if steps_per_epoch else None)
+            self.meta_step = step
             self._write_meta()
         self._save(path, state_to_tree(state))
         # GC: drop the oldest rolling checkpoints (never touches 'best').

@@ -84,6 +84,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _run_eval(self, loader, prefix: str) -> Dict[str, float]:
+        # tick the eval loader's epoch so per-(seed, epoch, index) draws
+        # (e.g. vggsound's random eval-frame choice, get_data.py:148-152)
+        # re-randomize each pass like the reference's stateful transforms
+        self._eval_pass = getattr(self, "_eval_pass", -1) + 1
+        loader.set_epoch(self._eval_pass)
         outputs = []
         for batch in loader:
             outputs.append(self.eval_step(self.state, batch))
@@ -108,8 +113,12 @@ class Trainer:
         steps_per_epoch = max(len(self.train_loader), 1)
         # Resume epoch: prefer the recorded epochs_done (exact even when
         # batch size / dataset size changed between runs); fall back to
-        # the step-derived estimate for pre-metadata checkpoints.
-        if self.ckpt.epochs_done is not None:
+        # the step-derived estimate for pre-metadata checkpoints OR when
+        # the metadata is AHEAD of the restored state (a crash between
+        # the meta write and the async checkpoint commit).
+        meta_consistent = (self.ckpt.meta_step is None
+                           or self.ckpt.meta_step == int(self.state.step))
+        if self.ckpt.epochs_done is not None and meta_consistent:
             start_epoch = int(self.ckpt.epochs_done)
             if (self.ckpt.steps_per_epoch
                     and self.ckpt.steps_per_epoch != steps_per_epoch):

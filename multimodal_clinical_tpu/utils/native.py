@@ -331,6 +331,18 @@ def read_mp4_pcm_mono(path: str) -> Tuple[np.ndarray, int]:
         return data.astype(np.float32), int(sr)
 
 
+def resample_linear(audio: np.ndarray, sr: int, target_sr: int
+                    ) -> np.ndarray:
+    """Linear resample to ``target_sr`` (identity when rates match).
+    The reference resamples with librosa's default; distributional parity
+    only (documented divergence)."""
+    if sr == target_sr or len(audio) <= 1:
+        return np.asarray(audio, np.float32)
+    n_out = int(len(audio) * target_sr / sr)
+    return np.interp(np.linspace(0, len(audio) - 1, n_out),
+                     np.arange(len(audio)), audio).astype(np.float32)
+
+
 def pcm16_to_float_mono(pcm: np.ndarray, channels: int) -> Optional[np.ndarray]:
     """Interleaved int16 -> float32 mono in [-1, 1]; None if unavailable."""
     lib = _load()

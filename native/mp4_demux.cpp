@@ -73,7 +73,9 @@ static void for_each_box(const uint8_t* buf, size_t n, F visit) {
     } else if (size == 0) {
       size = n - off;  // box extends to end
     }
-    if (size < header || off + size > n) return;  // malformed: stop
+    // overflow-safe bounds check (a corrupt 64-bit largesize must not
+    // wrap off + size): off <= n holds by loop invariant
+    if (size < header || size > n - off) return;  // malformed: stop
     visit(type, buf + off + header, (size_t)(size - header));
     off += (size_t)size;
   }

@@ -1,5 +1,6 @@
 """Analysis streams (min-loss counts, ensemble_probas) and exact resume."""
 
+import os
 from types import SimpleNamespace
 
 import numpy as np
@@ -287,3 +288,34 @@ def test_profiler_trace_capture(tmp_path):
 
     files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
     assert any(f.endswith((".pb", ".json.gz")) for f in files), files
+
+
+def test_resume_ignores_meta_ahead_of_checkpoint(tmp_path):
+    """Crash between the meta.json write and the (async) checkpoint
+    commit: metadata describes a NEWER step than any restorable state.
+    Resume must fall back to the step-derived epoch instead of trusting
+    epochs_done and silently skipping an epoch."""
+    import json
+
+    args = make_args(num_epochs=1, batch_size=16, ckpt_dir=str(tmp_path))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    steps_per_epoch = len(trainer.train_loader)
+
+    # simulate the torn write: meta claims 2 epochs done at a step whose
+    # checkpoint never committed
+    meta_path = os.path.join(trainer.ckpt.ckpt_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["epochs_done"] = 2
+    meta["meta_step"] = int(trainer.state.step) + steps_per_epoch
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    args2 = make_args(num_epochs=2, batch_size=16, ckpt_dir=str(tmp_path))
+    trainer2, _ = build_trainer(avmnist, args2)
+    assert trainer2.resume()
+    step_restored = int(trainer2.state.step)
+    trainer2.fit()
+    # epoch 1 must RUN (meta said both done, but state only has epoch 0)
+    assert int(trainer2.state.step) == step_restored + steps_per_epoch

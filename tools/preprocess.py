@@ -51,10 +51,6 @@ def _pick_backend(requested: str) -> str:
     return "ffmpeg" if shutil.which("ffmpeg") is not None else "native"
 
 
-_PCM_CODECS = {
-    "sowt": ("<i2", 16), "twos": (">i2", 16),
-    "lpcm": ("<i2", 16), "raw ": ("u1", 8), "in24": (None, 24),
-}
 _JPEG_CODECS = {"jpeg", "mjpa", "mjpb", "MJPG", "mjpg"}
 
 
@@ -93,45 +89,28 @@ def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
 
 def _native_mp4_to_wav(src: str, dst: str, seg) -> None:
     """PCM-in-MP4 audio extraction -> mono 16 kHz wav (the reference's
-    ffmpeg call: vggsound/mp4_to_wav.py:26-44)."""
-    from multimodal_clinical_tpu.utils.native import Mp4File
+    ffmpeg call: vggsound/mp4_to_wav.py:26-44).  Decode/mixdown lives in
+    utils/native.read_mp4_pcm_mono; ValueError from it names the codec
+    and the ffmpeg requirement."""
+    from multimodal_clinical_tpu.utils.native import (
+        read_mp4_pcm_mono, resample_linear,
+    )
 
-    with Mp4File(src) as m:
-        aud = [i for i, t in enumerate(m.tracks) if t["handler"] == "soun"]
-        if not aud:
-            raise RuntimeError(f"{src}: no audio track")
-        t = aud[0]
-        tr = m.tracks[t]
-        codec = tr["codec"]
-        if codec not in _PCM_CODECS or _PCM_CODECS[codec][0] is None:
-            raise RuntimeError(
-                f"{src}: audio codec {codec!r} needs ffmpeg (native path "
-                "extracts PCM only)")
-        dtype, _bits = _PCM_CODECS[codec]
-        raw = m.read_range(t, 0, tr["n_samples"]).tobytes()
-        data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-        if dtype == "u1":
-            data = (data - 128.0) / 128.0
-        else:
-            data = data / 32768.0
-        ch = max(tr["channels"], 1)
-        if ch > 1:
-            data = data[: len(data) // ch * ch].reshape(-1, ch).mean(axis=1)
-        sr = tr["sample_rate"] or tr["timescale"] or TARGET_SR
-        if seg:
-            i0 = int(max(seg[0], 0) * sr)
-            i1 = int(seg[1] * sr)
-            data = data[i0:i1]
-        if sr != TARGET_SR and len(data) > 1:
-            n_out = int(len(data) * TARGET_SR / sr)
-            data = np.interp(np.linspace(0, len(data) - 1, n_out),
-                             np.arange(len(data)), data)
-        pcm = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
-        with wave.open(dst, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(TARGET_SR)
-            w.writeframes(pcm.tobytes())
+    try:
+        data, sr = read_mp4_pcm_mono(src)
+    except ValueError as exc:
+        raise RuntimeError(str(exc)) from exc
+    if seg:
+        i0 = int(max(seg[0], 0) * sr)
+        i1 = int(seg[1] * sr)
+        data = data[i0:i1]
+    data = resample_linear(data, sr, TARGET_SR)
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+    with wave.open(dst, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(TARGET_SR)
+        w.writeframes(pcm.tobytes())
 
 
 def _read_wav_mono(path: str) -> np.ndarray:
