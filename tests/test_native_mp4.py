@@ -277,3 +277,69 @@ def test_vggsound_streams_audio_from_mp4(tmp_path):
     audio2 = _read_audio(str(tmp_path), "abc_0")
     np.testing.assert_allclose(audio2, (pcm // 2).astype(np.float32)
                                / 32768.0, atol=1e-6)
+
+
+def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
+    """Full adapter path with NO extracted wavs: _mp4_streamable probes the
+    corpus, csv admission requires video+frames, gather produces batches
+    with audio streamed from the container."""
+    from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
+
+    rng = np.random.default_rng(11)
+    os.makedirs(tmp_path / "video")
+    rows = []
+    for i in range(6):
+        ytid, start = f"vid{i:03d}", i
+        clip = f"{ytid}_{start}"
+        pcm = (rng.normal(scale=0.2, size=SR * 11) * 20000).astype(np.int16)
+        write_mp4(str(tmp_path / "video" / f"{clip}.mp4"),
+                  [_jpeg(i)], 1.0, pcm, channels=1, rate=SR)
+        # frames dir required for admission (decode path reads it)
+        fdir = tmp_path / "frames" / clip
+        os.makedirs(fdir)
+        for j in range(4):
+            (fdir / f"f{j}.jpg").write_bytes(_jpeg(i * 7 + j, (320, 240)))
+        split = "train" if i < 4 else "test"
+        rows.append(f"{ytid},{start},class{i % 2},{split}")
+    # one clip with video but NO frames: must be dropped, not crash
+    clip = "vidnof_9"
+    write_mp4(str(tmp_path / "video" / f"{clip}.mp4"), [_jpeg(9)], 1.0,
+              (rng.normal(size=SR * 11) * 100).astype(np.int16), 1, SR)
+    rows.append("vidnof,9,class0,train")
+    (tmp_path / "vggsound.csv").write_text("\n".join(rows) + "\n")
+
+    args = type("A", (), {"data_path": str(tmp_path) + "/", "seed": 0,
+                          "use_video_frames": 2, "num_classes": 2})()
+    data = get_data(args)
+    assert not data.synthetic
+    assert len(data.train) == 4  # frame-less clip dropped at admission
+    assert len(data.test) == 2
+    batch = data.train.gather(np.arange(2))
+    assert batch["x1_waveform"].shape == (2, SR * 5)
+    assert batch["x2"].shape == (2, 2, 224, 224, 3)
+    assert np.abs(batch["x1_waveform"]).max() <= 1.0
+
+
+def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
+    """A corpus whose mp4 audio is not PCM must NOT be admitted via the
+    mp4 path (it would crash at gather time) — falls to synthetic."""
+    from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
+
+    os.makedirs(tmp_path / "video")
+    path = str(tmp_path / "video" / "vid000_0.mp4")
+    write_mp4(path, [_jpeg(0)], 1.0,
+              np.zeros(SR, np.int16), 1, SR)
+    data = bytearray(open(path, "rb").read())
+    idx = data.find(b"sowt")
+    data[idx:idx + 4] = b"mp4a"  # pretend AAC
+    open(path, "wb").write(bytes(data))
+    os.makedirs(tmp_path / "frames" / "vid000_0")
+    (tmp_path / "vggsound.csv").write_text("vid000,0,class0,train\n")
+
+    args = type("A", (), {"data_path": str(tmp_path) + "/", "seed": 0,
+                          "use_video_frames": 2, "num_classes": 2})()
+    # zero admitted clips -> actionable error naming the prep commands
+    with pytest.raises(FileNotFoundError, match="0 train clips"):
+        get_data(args)
+    out = capsys.readouterr().out
+    assert "not PCM" in out
