@@ -273,9 +273,13 @@ def main(batch=224, warmup=3, iters=20):
         [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
         steps_per_epoch=100,
     )
+    import ml_dtypes
+
     batch_dict = {
-        "x1_waveform": jax.device_put(wave),
-        "x2": jax.device_put(frames),
+        "x1_waveform": jax.device_put(wave),  # f32: Pallas STFT input
+        # frames ship as bf16 exactly like the production Loader's
+        # transfer cast (math-identical to the stem's own cast)
+        "x2": jax.device_put(frames.astype(ml_dtypes.bfloat16)),
         "label": jax.device_put(label),
         "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
         "valid": jax.device_put(np.ones(batch, np.float32)),
