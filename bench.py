@@ -263,7 +263,9 @@ def main(batch=224, warmup=3, iters=20):
                            learning_rate=1e-2, num_epochs=60,
                            use_scheduler=False, seed=0)
     spec = ModelSpec(
-        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16),
+        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16,
+                               pool_kernel=os.environ.get("MMCT_POOL",
+                                                          "xla")),
         contract="jprobas",
         device_preprocess=device_preprocess,
     )

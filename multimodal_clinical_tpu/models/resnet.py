@@ -27,6 +27,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from .common import FusedBatchNorm, kaiming_normal_fan_out, normal_init
+from ..ops.maxpool_pallas import max_pool_3x3_s2_pallas
 
 _bn_scale_init = normal_init(1.0, 0.02)
 
@@ -193,6 +194,10 @@ class ResNetEncoder(nn.Module):
     # unbiased estimator) — a ~1/(M-1) relative eval-only divergence,
     # negligible at real feature-map sizes but visible in strict tests.
     bn_fused: bool = False
+    # stem max-pool backend: "xla" (reduce_window + select-and-scatter) or
+    # "pallas" (ops/maxpool_pallas.py stored-index kernels — the backward
+    # routes dy by a fwd-saved int8 argmax instead of re-scanning x).
+    pool_kernel: str = "xla"
     # block-level rematerialisation: None (save all residuals, XLA default),
     # "convs" (jax.checkpoint each BasicBlock, saving only conv outputs —
     # BN-apply/ReLU recompute in backward), or "none" (full recompute).
@@ -215,8 +220,11 @@ class ResNetEncoder(nn.Module):
         # NOTE: ops/maxpool.py has a gather-based custom backward, but
         # in-program it measures SLOWER than select-and-scatter (1051 vs
         # 1428 samples/s on the VGGSound step): the strided slices read
-        # 4x data per tap and saving y breaks XLA's remat plan. Keep XLA's.
-        x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
+        # 4x data per tap and saving y breaks XLA's remat plan.
+        if self.pool_kernel == "pallas":
+            x = max_pool_3x3_s2_pallas(x)
+        else:
+            x = nn.max_pool(x, (3, 3), (2, 2), [(1, 1), (1, 1)])
         block_cls = BasicBlock
         if self.remat:
             # static_argnums: (self, x, train) -> train must stay a Python

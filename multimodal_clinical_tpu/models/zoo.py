@@ -78,16 +78,19 @@ class CremadFusionNet(nn.Module):
     dtype: Optional[Any] = None
     remat: Optional[str] = None  # see ResNetEncoder.remat
     stem_space_to_depth: bool = False  # see ResNetEncoder
+    pool_kernel: str = "xla"  # see ResNetEncoder
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
         a = ResNetEncoder(dtype=self.dtype, remat=self.remat,
                           stem_space_to_depth=self.stem_space_to_depth,
+                          pool_kernel=self.pool_kernel,
                           name="x1_model")(x1, train)
         b, t = x2.shape[0], x2.shape[1]
         v_in = x2.reshape((b * t,) + x2.shape[2:])
         v = ResNetEncoder(dtype=self.dtype, remat=self.remat,
                           stem_space_to_depth=self.stem_space_to_depth,
+                          pool_kernel=self.pool_kernel,
                           name="x2_model")(v_in, train)
         a = global_avg_pool(a)                        # (B, 512)
         v = v.reshape(b, t, *v.shape[1:])

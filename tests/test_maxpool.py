@@ -68,3 +68,76 @@ def test_backward_bf16():
     np.testing.assert_allclose(
         np.asarray(g_custom, np.float32), np.asarray(g_ref, np.float32),
         rtol=0.05, atol=0.02)
+
+
+# ---------------------------------------------------------------- pallas op
+
+from multimodal_clinical_tpu.ops.maxpool_pallas import max_pool_3x3_s2_pallas
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 8, 8),      # even H/W
+    (3, 9, 11, 16),    # odd H/W, uneven blocks
+    (1, 65, 13, 8),    # tall odd (audio-stem geometry class)
+    (4, 12, 12, 4),
+])
+@pytest.mark.parametrize("ties", [False, True])
+def test_pallas_pool_matches_xla(shape, ties):
+    """Stored-index Pallas kernels (interpret mode on CPU) vs XLA
+    reduce_window / select-and-scatter: forward (both the undifferentiated
+    primal and the vjp-forward), backward routing incl. tie plateaus."""
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=shape).astype(np.float32)
+    if ties:
+        x = np.maximum(np.round(x * 2) / 2, 0)  # ReLU-like tie plateaus
+    xj = jnp.asarray(x)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_3x3_s2_pallas(xj)), np.asarray(_ref_pool(xj)))
+
+    ct = jnp.asarray(rng.normal(size=_ref_pool(xj).shape).astype(np.float32))
+    y, vjp = jax.vjp(max_pool_3x3_s2_pallas, xj)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(_ref_pool(xj)))
+    (dx,) = vjp(ct)
+    yr, vjpr = jax.vjp(_ref_pool, xj)
+    (dxr,) = vjpr(ct)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dxr),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_pool_bf16():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    t = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    g = jax.grad(lambda x: jnp.sum(
+        (max_pool_3x3_s2_pallas(x) * t).astype(jnp.float32)))(x)
+    g_ref = jax.grad(
+        lambda x: jnp.sum((_ref_pool(x) * t).astype(jnp.float32)))(x)
+    np.testing.assert_allclose(
+        np.asarray(g, np.float32), np.asarray(g_ref, np.float32),
+        rtol=0.05, atol=0.02)
+
+
+def test_encoder_pool_kernel_flag_matches():
+    """ResNetEncoder(pool_kernel="pallas") is math-identical to the XLA
+    pool path — same params, same output, same grads."""
+    from multimodal_clinical_tpu.models.resnet import ResNetEncoder
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 33, 37, 1)).astype(np.float32))
+    enc_x = ResNetEncoder(stage_sizes=(1, 1), width=8)
+    enc_p = ResNetEncoder(stage_sizes=(1, 1), width=8, pool_kernel="pallas")
+    params = enc_x.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(module, params):
+        out, _ = module.apply(params, x, train=True,
+                              mutable=["batch_stats"])
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    lx, gx = jax.value_and_grad(lambda p: loss(enc_x, p))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss(enc_p, p))(params)
+    np.testing.assert_allclose(float(lx), float(lp), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6), gx, gp)

@@ -23,7 +23,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(out_dir: str, steps: int, s2d: bool = False) -> None:
+def capture(out_dir: str, steps: int, s2d: bool = False,
+            pool: str = "xla") -> None:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +49,7 @@ def capture(out_dir: str, steps: int, s2d: bool = False) -> None:
                            use_scheduler=False, seed=0)
     spec = ModelSpec(
         module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16,
-                               stem_space_to_depth=s2d),
+                               stem_space_to_depth=s2d, pool_kernel=pool),
         contract="jprobas", device_preprocess=device_preprocess,
     )
     spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
@@ -157,9 +158,11 @@ if __name__ == "__main__":
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stems (per-op A/B)")
+    ap.add_argument("--pool", default="xla", choices=("xla", "pallas"),
+                    help="stem max-pool backend (per-op A/B)")
     a = ap.parse_args()
     if a.parse:
         parse(a.parse, a.top)
     else:
-        capture(a.out, a.steps, s2d=a.s2d)
+        capture(a.out, a.steps, s2d=a.s2d, pool=a.pool)
         parse(a.out, a.top)
