@@ -10,10 +10,18 @@ the schedule:
     ``int8`` tap index (0..8, row-major scan order, FIRST maximal element —
     the same routing as torch ``MaxPool2d`` / XLA select-and-scatter).
   * backward: a second kernel routes ``dy`` by the stored index.  Its HBM
-    traffic is ``write dx + read dy + read idx`` — the uint8 index array is
-    8x smaller than re-reading the bf16 input at double resolution, so the
-    backward runs near the pure-bandwidth floor (~2.8 GB vs 4.55 GB for
-    select-and-scatter at the bench geometry).
+    traffic is ``write dx + read dy + read idx`` vs select-and-scatter's
+    re-read of the full-resolution input.
+
+MEASURED (v5e, tools/microbench_pool_iso.py / microbench_maxpool.py): the
+backward wins in isolation (visual 8.7 vs 10.4 ms, audio 4.4 vs 4.9) but
+the forward+index pass loses 7.0 vs 3.0 ms — Mosaic lacks bf16 vector
+compares (the f32 interior doubles VPU work), tap extraction lowers to
+VMEM copies, and the index array adds ~0.7 GB of writes.  Net in-context
+NEGATIVE (-1.3/-1.5 ms per pass), so the default stays ``pool_kernel=
+"xla"``; this op is kept as tested, flag-gated infrastructure and as the
+reference implementation of the (H, W, C, N) bitcast + halo-edge-ref
+kernel pattern.
 
 Layout: both kernels run over ``(H, W, C, N)`` views.  XLA keeps conv
 feature maps batch-minor (physical layout {0,3,2,1}), so the
