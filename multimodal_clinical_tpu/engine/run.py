@@ -95,10 +95,12 @@ def init_state_on_mesh(spec: ModelSpec, args, data: DataBundle, mesh,
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
     state = create_train_state(spec, args, rng, sample_inputs, steps_per_epoch,
                                **(opt_kwargs or {}))
-    rep = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x, state
-    )
+    from ..parallel.sharding import place_state
+
+    # TP rules apply when the mesh has a model axis; `fsdp: true`
+    # additionally distributes large params + momentum over the data axis
+    # (ZeRO-3 style; parallel/sharding.py)
+    return place_state(state, mesh, fsdp=bool(getattr(args, "fsdp", False)))
 
 
 def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None

@@ -142,3 +142,78 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(mod_spec)
     mod_spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_param_spec_fsdp_rules():
+    class FakePath:
+        def __init__(self, key):
+            self.key = key
+
+    big_conv = np.zeros((3, 3, 256, 256))      # 589k elements
+    small_conv = np.zeros((3, 3, 8, 8))        # below _FSDP_MIN_SIZE
+    spec = param_spec((FakePath("conv"), FakePath("kernel")), big_conv,
+                      model_axis_size=1, fsdp_axis_size=4)
+    assert spec == P(None, None, None, DATA_AXIS)
+    spec = param_spec((FakePath("conv"), FakePath("kernel")), small_conv,
+                      model_axis_size=1, fsdp_axis_size=4)
+    assert spec == P()
+    # TP + FSDP compose: model axis takes the last dim, data axis the next
+    big_dense = np.zeros((1024, 512))
+    spec = param_spec((FakePath("dense"), FakePath("kernel")), big_dense,
+                      model_axis_size=2, fsdp_axis_size=4)
+    assert spec == P(DATA_AXIS, MODEL_AXIS)
+
+
+def test_fsdp_matches_single_device_math():
+    """FSDP-sharded params + momentum produce the same step math as a
+    single device (ZeRO-3 is a layout, not an algorithm change)."""
+    from types import SimpleNamespace
+
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+    from multimodal_clinical_tpu.parallel import sharding as shmod
+    from multimodal_clinical_tpu.parallel.sharding import place_state
+
+    args = SimpleNamespace(num_classes=4, batch_size=16, learning_rate=0.1,
+                           num_epochs=1, use_scheduler=False, seed=0)
+    spec = ModelSpec(module=MimicFusionNet(num_classes=4))
+    rng = np.random.default_rng(3)
+    x1 = rng.normal(size=(16, 5)).astype(np.float32)
+    x2 = rng.normal(size=(16, 24, 12)).astype(np.float32)
+    batch_np = {"x1": x1, "x2": x2,
+                "label": rng.integers(0, 4, 16).astype(np.int32),
+                "idx": np.arange(16, dtype=np.int32),
+                "valid": np.ones(16, np.float32)}
+
+    def run(mesh, min_size):
+        state = create_train_state(spec, args, jax.random.PRNGKey(0),
+                                   [jnp.asarray(x1[:2]), jnp.asarray(x2[:2])],
+                                   steps_per_epoch=4)
+        if mesh is not None:
+            old = shmod._FSDP_MIN_SIZE
+            shmod._FSDP_MIN_SIZE = min_size  # tiny test model: force shards
+            try:
+                state = place_state(state, mesh, fsdp=True)
+            finally:
+                shmod._FSDP_MIN_SIZE = old
+            # at least one param leaf must actually be distributed
+            shards = [
+                leaf.sharding.spec for leaf in jax.tree_util.tree_leaves(
+                    state.params)
+                if hasattr(leaf, "sharding")
+            ]
+            assert any(DATA_AXIS in str(s) for s in shards), shards
+            bs = batch_sharding(mesh)
+            batch = {k: jax.device_put(v, bs) for k, v in batch_np.items()}
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        step = make_train_step(spec)
+        new_state, metrics = step(state, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    single = run(None, None)
+    fsdp = run(make_mesh(), min_size=1)
+    for k in single:
+        assert abs(single[k] - fsdp[k]) < 1e-4, (k, single[k], fsdp[k])
