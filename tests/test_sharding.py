@@ -217,3 +217,21 @@ def test_fsdp_matches_single_device_math():
     fsdp = run(make_mesh(), min_size=1)
     for k in single:
         assert abs(single[k] - fsdp[k]) < 1e-4, (k, single[k], fsdp[k])
+
+
+def test_fsdp_e2e_with_checkpointing(tmp_path):
+    """`fsdp: true` through the FULL trainer: sharded params + momentum
+    survive best-checkpoint save, reload-best-then-test, and produce a
+    learning trajectory (covers orbax/msgpack handling of distributed
+    arrays)."""
+    from multimodal_clinical_tpu.benchmarks import get_benchmark
+    from multimodal_clinical_tpu.config import setup_configs
+    from multimodal_clinical_tpu.engine.run import run_benchmark
+
+    args = setup_configs([
+        "--dir", "mimic", "--set", "fsdp=true", "--set", "num_epochs=2",
+        "--set", "batch_size=16",
+        "--set", f"data_path={tmp_path}/nonexistent.pk",
+    ])
+    summary = run_benchmark(args, get_benchmark("mimic"))
+    assert summary["test_epoch/test_avg_acc"] > 0.5  # synthetic twin learns
