@@ -89,3 +89,23 @@ def test_export_cli_smoke(tmp_path):
     out_d = served(*ins)
     assert np.asarray(out_d["pred"]).shape == (2,)
     assert np.isfinite(np.asarray(out_d["logprobs"])).all()
+
+
+def test_export_symbolic_batch(tmp_path):
+    """--batch sym: one artifact serves any batch size."""
+    from tools.export import main
+
+    out = str(tmp_path / "sym_artifact")
+    main(["--dir", "mimic", "--batch", "sym", "--out", out,
+          "--platforms", "cpu", "--set", "batch_size=8"])
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert meta["batch"] == "sym"
+    assert meta["inputs"][0]["shape"][0] == "b"
+    served = load_artifact(out)
+    rng = np.random.default_rng(2)
+    for n in (1, 3, 9):
+        ins = [jnp.asarray(
+            rng.normal(size=[n] + i["shape"][1:]).astype(i["dtype"]))
+            for i in meta["inputs"]]
+        out_d = served(*ins)
+        assert np.asarray(out_d["pred"]).shape == (n,)

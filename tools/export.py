@@ -122,7 +122,13 @@ def export_benchmark(args, benchmark, ckpt_dir, which, batch, out_dir,
         print("[export] WARNING: no --ckpt given, exporting fresh-init "
               "weights (shape/pipeline artifact only)")
 
-    keys, sig = input_signature(spec, args, data, batch)
+    keys, sig = input_signature(spec, args, data,
+                                2 if batch == "sym" else int(batch))
+    if batch == "sym":
+        # batch-polymorphic artifact: one export serves any batch size
+        bdim = jax.export.symbolic_shape("b")[0]
+        sig = [jax.ShapeDtypeStruct((bdim,) + s.shape[1:], s.dtype)
+               for s in sig]
     serve = build_serving_fn(spec, state, keys)
     exp = jax.export.export(jax.jit(serve),
                             platforms=tuple(platforms))(*sig)
@@ -136,10 +142,12 @@ def export_benchmark(args, benchmark, ckpt_dir, which, batch, out_dir,
         "model_type": getattr(args, "model_type", None),
         "contract": spec.contract,
         "num_classes": int(args.num_classes),
-        "batch": batch,
+        "batch": batch,  # "sym" = batch-polymorphic
         "platforms": list(platforms),
         "checkpoint": ckpt_dir or None,
-        "inputs": [{"name": k, "shape": list(s.shape),
+        "inputs": [{"name": k,
+                    "shape": [str(d) if not isinstance(d, int) else d
+                              for d in s.shape],
                     "dtype": str(np.dtype(s.dtype))}
                    for k, s in zip(keys, sig)],
         "outputs": ["logprobs", "pred", "logits_stack"],
@@ -166,7 +174,9 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None,
                     help="checkpoint dir (the trainer's <run_dir>/ckpt)")
     ap.add_argument("--which", choices=("best", "last"), default="best")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", default="8",
+                    help="export batch size, or 'sym' for a "
+                         "batch-polymorphic artifact")
     ap.add_argument("--out", default=None,
                     help="artifact dir (default <ckpt|.>/serving_<ds>)")
     ap.add_argument("--platforms", default=None,
