@@ -213,13 +213,16 @@ def get_data(args) -> DataBundle:
                                       class_map, mp4_ok)
         test_items = _read_csv_items(data_dir, "vggsound.csv", "test",
                                      class_map, mp4_ok)
-        if not train_items:
-            raise FileNotFoundError(
-                f"{data_dir}vggsound.csv exists but 0 train clips were "
-                "admitted: each clip needs audio/<clip>.wav (run "
-                "tools/preprocess.py mp4-to-wav) or, for PCM-audio mp4s, "
-                "video/<clip>.mp4 plus extracted frames/<clip>/ "
-                "(tools/preprocess.py video-frames)")
+        for split_name, split_items in (("train", train_items),
+                                        ("test", test_items)):
+            if not split_items:
+                raise FileNotFoundError(
+                    f"{data_dir}vggsound.csv exists but 0 {split_name} "
+                    "clips were admitted: each clip needs "
+                    "audio/<clip>.wav (run tools/preprocess.py mp4-to-wav) "
+                    "or, for PCM-audio mp4s, video/<clip>.mp4 plus "
+                    "extracted frames/<clip>/ "
+                    "(tools/preprocess.py video-frames)")
         train = VGGSoundDiskDataset(data_dir, train_items, True, nframes,
                                     seed)
         test = VGGSoundDiskDataset(data_dir, test_items, False, nframes,

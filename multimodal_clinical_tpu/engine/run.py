@@ -3,8 +3,9 @@
 The TPU-native equivalent of the reference's per-dataset ``run_training``
 functions (e.g. cremad/run_trainer.py:24-73): resolve config, build the
 device mesh, construct loaders with the dataset's sampler policy, initialize
-the TrainState (replicated over the mesh), fit with best-checkpointing, and
-test from the best checkpoint.
+the TrainState (placed on the mesh by parallel/sharding.place_state —
+TP-sharded Dense kernels, optional FSDP, rest replicated), fit with
+best-checkpointing, and test from the best checkpoint.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ import numpy as np
 
 from ..data.loader import Loader
 from ..data.sampler import RandomSampler, SequentialSampler, WeightedSampler
-from ..parallel.mesh import DATA_AXIS, make_mesh, replicated
+from ..parallel.mesh import DATA_AXIS, make_mesh
 from .spec import ModelSpec
 from .state import create_train_state
 from .trainer import Trainer

@@ -70,6 +70,14 @@ def test_export_round_trip(tmp_path, ds, model_type):
     np.testing.assert_allclose(np.asarray(served["logits_stack"]),
                                np.asarray(direct["logits_stack"]),
                                rtol=1e-6, atol=1e-6)
+    assert meta["logits_stack_semantics"] == (
+        "per_modality_logprobs" if model_type == "jprobas"
+        else "per_modality_logits")
+    if model_type == "jprobas":
+        # eval-step parity: jprobas stack rows are log(softmax + eps),
+        # i.e. per-row exp-sum ~= 1 (steps.py eval path semantics)
+        stack = np.asarray(served["logits_stack"], np.float64)
+        np.testing.assert_allclose(np.exp(stack).sum(-1), 1.0, atol=1e-3)
 
 
 def test_export_cli_smoke(tmp_path):

@@ -322,7 +322,8 @@ def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
 
 def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
     """A corpus whose mp4 audio is not PCM must NOT be admitted via the
-    mp4 path (it would crash at gather time) — falls to synthetic."""
+    mp4 path (it would crash at gather time) — with zero admitted clips
+    the adapter raises an actionable FileNotFoundError."""
     from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
 
     os.makedirs(tmp_path / "video")
@@ -343,3 +344,31 @@ def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
         get_data(args)
     out = capsys.readouterr().out
     assert "not PCM" in out
+
+
+def test_vggsound_adapter_rejects_empty_test_split(tmp_path):
+    """A corpus that admits train clips but ZERO test clips must raise the
+    same actionable error (otherwise training runs for a full schedule and
+    only fails at the empty val/test epochs)."""
+    import wave
+
+    from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
+
+    os.makedirs(tmp_path / "audio")
+    pcm = (np.zeros(SR * 11)).astype(np.int16)
+    with wave.open(str(tmp_path / "audio" / "vid000_0.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+    fdir = tmp_path / "frames" / "vid000_0"
+    os.makedirs(fdir)
+    for j in range(2):
+        (fdir / f"f{j}.jpg").write_bytes(_jpeg(j))
+    (tmp_path / "vggsound.csv").write_text(
+        "vid000,0,class0,train\nvid001,0,class0,test\n")
+
+    args = type("A", (), {"data_path": str(tmp_path) + "/", "seed": 0,
+                          "use_video_frames": 2, "num_classes": 2})()
+    with pytest.raises(FileNotFoundError, match="0 test clips"):
+        get_data(args)

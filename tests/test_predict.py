@@ -43,6 +43,72 @@ def test_predict_matches_trainer_test(tmp_path, model_type):
         assert r[-1] <= 0 or np.isclose(r[-1], 0)
 
 
+def test_predict_train_split_one_row_per_sample(tmp_path):
+    """enrico's train loader samples WITH replacement (weighted sampler)
+    and gathers in train mode; predict --split train must bypass both and
+    emit exactly one deterministic row per sample."""
+    import predict as predict_mod
+
+    from multimodal_clinical_tpu.benchmarks import enrico
+
+    args = make_args(model_type="jlogits", num_epochs=1, batch_size=16,
+                     ckpt_dir=str(tmp_path))
+    trainer, data = build_trainer(enrico, args)
+    trainer.fit()
+    rows, summary = predict_mod.predict(
+        args, enrico, split="train", ckpt_dir=trainer.ckpt.ckpt_dir,
+        which="best")
+    assert summary["n"] == len(data.train)
+    assert sorted(r[0] for r in rows) == list(range(len(data.train)))
+
+
+def test_predict_weighted_fusion_matches_contract(tmp_path):
+    """mimic's ensemble fuses 0.8*l1 + 1.5*l2 — a weighted SUM
+    (mimic/ensemble_model.py:127-128 via contracts.fuse_logits).  The
+    CSV's fused_logprob column must use exactly that fusion (a weighted
+    MEAN would shift every log-probability)."""
+    import jax
+    import predict as predict_mod
+
+    from multimodal_clinical_tpu.benchmarks import mimic
+    from multimodal_clinical_tpu.engine.checkpoint import BestCheckpointer
+    from multimodal_clinical_tpu.engine.run import (
+        build_loaders, init_state_on_mesh,
+    )
+    from multimodal_clinical_tpu.engine.steps import make_eval_step
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+    args = make_args(model_type="ensemble", num_classes=6, num_epochs=1,
+                     batch_size=16, ckpt_dir=str(tmp_path))
+    trainer, data = build_trainer(mimic, args)
+    trainer.fit()
+    rows, _ = predict_mod.predict(
+        args, mimic, split="test", ckpt_dir=trainer.ckpt.ckpt_dir,
+        which="best")
+    got = {r[0]: r[-1] for r in rows}
+
+    # independent recomputation with the explicit weighted-sum formula
+    mesh = make_mesh()
+    spec, opt_kwargs = mimic.get_model_spec(args, n_train=len(data.train))
+    assert spec.fusion_weights == (0.8, 1.5)
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    state = BestCheckpointer(trainer.ckpt.ckpt_dir).restore_best(state)
+    eval_step = make_eval_step(spec)
+    _, _, test_loader = build_loaders(args, data, mesh)
+    for batch in test_loader:
+        out = eval_step(state, batch)
+        stack = np.asarray(out["logits_stack"], np.float32)
+        valid = np.asarray(out["valid"]) > 0
+        idx = np.asarray(jax.device_get(batch["idx"]))
+        fused = 0.8 * stack[:, 0] + 1.5 * stack[:, 1]
+        shifted = fused - fused.max(-1, keepdims=True)
+        logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
+        for b in range(len(idx)):
+            if valid[b]:
+                np.testing.assert_allclose(
+                    got[int(idx[b])], logp[b].max(), rtol=1e-5, atol=1e-5)
+
+
 def test_predict_last_checkpoint(tmp_path):
     import predict as predict_mod
 

@@ -67,7 +67,11 @@ def build_serving_fn(spec, state, input_keys):
                                            False)
         out, _ = _forward(state, state.params, batch, spec, False, None)
         logits = out["logits"]
-        stack = jnp.stack([l.astype(jnp.float32) for l in logits], axis=1)
+        # match make_eval_step's logits_stack semantics exactly: jprobas
+        # reports per-modality LOG-PROBS (steps.py eval path), everything
+        # else raw logits — so artifact consumers and predict.py agree
+        report = C.to_logprobs(logits) if prob_fusion else logits
+        stack = jnp.stack([r.astype(jnp.float32) for r in report], axis=1)
         if prob_fusion:
             fused = C.fuse_probas(logits)
             logp = jax.nn.log_softmax(fused)
@@ -113,11 +117,20 @@ def export_benchmark(args, benchmark, ckpt_dir, which, batch, out_dir,
     state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
     if ckpt_dir:
         ck = BestCheckpointer(ckpt_dir)
-        restored = (ck.restore_last(state) if which == "last"
-                    else ck.restore_best(state))
-        if restored is None:
-            raise FileNotFoundError(f"no {which} checkpoint under {ckpt_dir}")
-        state = restored
+        if which == "last":
+            restored = ck.restore_last(state)
+            if restored is None:
+                raise FileNotFoundError(
+                    f"no rolling checkpoint under {ckpt_dir}")
+            state = restored
+        else:
+            # restore_best returns the input state unchanged when nothing
+            # exists — guard via best_path so a typo'd --ckpt can't silently
+            # export fresh-init weights
+            state = ck.restore_best(state)
+            if ck.best_path is None:
+                raise FileNotFoundError(
+                    f"no best checkpoint under {ckpt_dir}")
     else:
         print("[export] WARNING: no --ckpt given, exporting fresh-init "
               "weights (shape/pipeline artifact only)")
@@ -151,6 +164,11 @@ def export_benchmark(args, benchmark, ckpt_dir, which, batch, out_dir,
                     "dtype": str(np.dtype(s.dtype))}
                    for k, s in zip(keys, sig)],
         "outputs": ["logprobs", "pred", "logits_stack"],
+        "logits_stack_semantics": (
+            "per_modality_logprobs"
+            if (spec.contract == "jprobas"
+                and (spec.eval_fusion or "probas") == "probas")
+            else "per_modality_logits"),
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)

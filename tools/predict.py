@@ -58,6 +58,18 @@ def predict(args, benchmark, split: str, ckpt_dir: str, which: str):
         if state is None or ck.best_path is None:
             raise FileNotFoundError(f"no best checkpoint under {ckpt_dir}")
 
+    if split == "train":
+        # Inference over the train split must be one deterministic row per
+        # sample: bypass the training sampler policy (cremad/ave/enrico/
+        # vggsound use with-replacement weighted sampling) and gather in
+        # eval mode (no random augmentation).
+        import copy
+        from dataclasses import replace
+
+        eval_train = copy.copy(data.train)
+        if hasattr(eval_train, "train"):
+            eval_train.train = False
+        data = replace(data, train=eval_train, train_sampler="sequential")
     loaders = dict(zip(("train", "val", "test"),
                        build_loaders(args, data, mesh)))
     loader = loaders[split]
@@ -76,7 +88,9 @@ def predict(args, benchmark, split: str, ckpt_dir: str, which: str):
         if prob_fusion:
             return np.exp(stack).mean(axis=1)        # mean probability
         if weights is not None:
-            return (stack * weights[None, :, None]).mean(axis=1)
+            # weighted SUM, matching contracts.fuse_logits (w1*l1 + w2*l2,
+            # mimic/ensemble_model.py:127-128) — not a weighted mean
+            return (stack * weights[None, :, None]).sum(axis=1)
         return stack.mean(axis=1)
 
     rows = []
