@@ -119,7 +119,22 @@ def reg_loss(
     correctness: (M, n_data) history tables (post-update, matching the
     reference call order at cremad/joint_model_qmf.py:62-67).
     """
-    idx2 = jnp.roll(idx, -1)
+    batch = idx.shape[0]
+    if valid is not None:
+        # Padded tail batch: the reference rolls within its SMALLER last
+        # batch, so row i's ranking partner is row (i + 1) mod K over the
+        # K real rows (valid rows are a prefix — data/loader._pad_batch).
+        # A plain roll over the padded batch would pair the last real row
+        # with a pad row and lose the wrap-around pair.
+        k = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
+        pos = jnp.arange(batch)
+        partner = jnp.where(pos + 1 >= k, 0, pos + 1)
+        pair_valid = valid
+        denom = jnp.maximum(jnp.sum(valid), 1.0)
+    else:
+        partner = jnp.roll(jnp.arange(batch), -1)
+        pair_valid = None
+    idx2 = idx[partner]
     num_modality = conf.shape[0]
     losses = []
     for n in range(num_modality):
@@ -128,12 +143,9 @@ def reg_loss(
         mgn = jax.lax.stop_gradient(mgn)
         input1 = conf[n]
         tgt_nonzero = jnp.where(tgt == 0, 1.0, tgt)
-        input2 = jnp.roll(conf[n], -1) + mgn / tgt_nonzero
+        input2 = conf[n][partner] + mgn / tgt_nonzero
         per_pair = jax.nn.relu(tgt * (input1 - input2))
-        if valid is not None:
-            # a pair is valid when both its members are real samples
-            pair_valid = valid * jnp.roll(valid, -1)
-            denom = jnp.maximum(jnp.sum(pair_valid), 1.0)
+        if pair_valid is not None:
             losses.append(jnp.sum(per_pair * pair_valid) / denom)
         else:
             losses.append(jnp.mean(per_pair))

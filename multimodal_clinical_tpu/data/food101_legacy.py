@@ -96,15 +96,15 @@ class Food101LegacyDiskDataset:
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         from .core import sample_rng
 
-        imgs, toks, labels = [], [], []
+        imgs, toks = [], []
         for i in indices:
-            name, text, food = self.items[int(i)]
+            name, text, _food = self.items[int(i)]
             imgs.append(self._load_image(
                 name, sample_rng(self._seed, self._epoch, int(i))))
             toks.append(self._tokenize(text))
-            labels.append(self._food2idx[food])
         return {
             "x1": np.stack(imgs),
             "x2": np.stack(toks),
-            "label": np.asarray(labels, np.int32),
+            # single source of truth: the same array the samplers consume
+            "label": self.labels[np.asarray(indices, np.int64)],
         }

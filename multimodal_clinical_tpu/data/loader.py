@@ -132,25 +132,53 @@ class Loader:
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         _END, _ERR = object(), object()
+
+        def offer(item) -> bool:
+            # bounded put: gives up when the consumer abandoned the
+            # iterator, so the producer can't block forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for host_batch in self._host_batches():
-                    q.put(self._put(host_batch))
+                    if stop.is_set():
+                        return
+                    if not offer(self._put(host_batch)):
+                        return
             except BaseException as exc:  # re-raised on the consumer side
-                q.put((_ERR, exc))
+                offer((_ERR, exc))
             else:
-                q.put(_END)
+                offer(_END)
 
-        # daemon: an abandoned iterator (consumer breaks early) must not
-        # block interpreter exit on a full queue
-        thread = threading.Thread(target=produce, daemon=True)
+        thread = threading.Thread(target=produce, daemon=True,
+                                  name="loader-producer")
         thread.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] is _ERR):
+                    raise item[1]
+                yield item
+        finally:
+            # runs on exhaustion AND on abandonment (break / exception /
+            # generator GC): stop the producer so it neither keeps
+            # gathering+transferring batches nor pins device buffers in
+            # the queue for the rest of the process
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10.0)

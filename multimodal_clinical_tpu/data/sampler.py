@@ -7,16 +7,35 @@ epoch draws ``len(labels)`` indices.  The heavy path uses the native C++
 alias table (utils/native.py, O(1) per draw) with a numpy fallback.
 
 Multi-host: every sampler derives the SAME global per-epoch stream from
-``(seed, epoch)`` and each process takes the strided slice
-``stream[process_index::process_count]`` — per-host shards partition the
-global stream exactly (the jax.distributed analog of torch's
-DistributedSampler, which the reference lists as a TODO,
-vggsound/vggsound.yaml:1).
+``(seed, epoch)``, wrap-pads it to a multiple of ``process_count`` (same
+as torch's DistributedSampler, which the reference lists as a TODO,
+vggsound/vggsound.yaml:1), and each process takes the strided slice
+``stream[process_index::process_count]``.  The padding keeps every
+host's shard the same length — unequal shards would give hosts
+different step counts and deadlock the collectives on the extra batch.
+At most ``process_count - 1`` samples repeat per epoch; single-host
+streams are untouched.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def _host_shard(stream: np.ndarray, process_index: int,
+                process_count: int) -> np.ndarray:
+    """Equal-length per-host shard of the global stream (wrap-padded)."""
+    if process_count <= 1:
+        return stream
+    n = len(stream)
+    total = -(-n // process_count) * process_count
+    if total != n:
+        stream = np.concatenate([stream, stream[: total - n]])
+    return stream[process_index::process_count]
+
+
+def _shard_len(n: int, process_count: int) -> int:
+    return -(-n // process_count) if process_count > 1 else n
 
 
 class SequentialSampler:
@@ -29,11 +48,11 @@ class SequentialSampler:
         self.process_count = int(process_count)
 
     def __len__(self) -> int:
-        return len(range(self.process_index, self.n, self.process_count))
+        return _shard_len(self.n, self.process_count)
 
     def indices(self, epoch: int = 0) -> np.ndarray:
-        return np.arange(self.n, dtype=np.int64)[
-            self.process_index::self.process_count]
+        return _host_shard(np.arange(self.n, dtype=np.int64),
+                           self.process_index, self.process_count)
 
 
 class RandomSampler:
@@ -47,12 +66,12 @@ class RandomSampler:
         self.process_count = int(process_count)
 
     def __len__(self) -> int:
-        return len(range(self.process_index, self.n, self.process_count))
+        return _shard_len(self.n, self.process_count)
 
     def indices(self, epoch: int = 0) -> np.ndarray:
         rng = np.random.default_rng([self.seed, int(epoch), 103])
         perm = rng.permutation(self.n).astype(np.int64)
-        return perm[self.process_index::self.process_count]
+        return _host_shard(perm, self.process_index, self.process_count)
 
 
 class WeightedSampler:
@@ -64,10 +83,8 @@ class WeightedSampler:
                  process_count: int = 1):
         labels = np.asarray(labels).astype(np.int64)
         counts = np.bincount(labels)
-        weights = np.zeros(len(labels), np.float64)
-        present = counts[labels] > 0
-        weights[present] = 1.0 / counts[labels][present]
-        self.weights = weights
+        # counts[labels[i]] >= 1 always (sample i counts itself)
+        self.weights = 1.0 / counts[labels].astype(np.float64)
         self.n = int(num_samples) or len(labels)
         self.seed = int(seed)
         self.process_index = int(process_index)
@@ -82,10 +99,10 @@ class WeightedSampler:
             self._alias = None
 
     def __len__(self) -> int:
-        return len(range(self.process_index, self.n, self.process_count))
+        return _shard_len(self.n, self.process_count)
 
     def indices(self, epoch: int = 0) -> np.ndarray:
-        # one global stream per (seed, epoch); strided per-host shard
+        # one global stream per (seed, epoch); wrap-padded per-host shard
         if self._alias is not None:
             draw_seed = (self.seed * 1_000_003 + int(epoch)) & 0x7FFFFFFF
             stream = self._alias.sample(self.n, seed=draw_seed)
@@ -94,5 +111,5 @@ class WeightedSampler:
             p = self.weights / self.weights.sum()
             stream = rng.choice(len(self.weights), size=self.n,
                                 replace=True, p=p)
-        return np.asarray(stream, np.int64)[
-            self.process_index::self.process_count]
+        return _host_shard(np.asarray(stream, np.int64),
+                           self.process_index, self.process_count)

@@ -73,9 +73,13 @@ def make_synthetic_dataset(name: str, n: int, num_classes: int, *,
         if mi in token_mods:
             ids = rng.integers(2, SYNTH_VOCAB, size=(n,) + tuple(shape))
             # plant the signal: the first tokens encode the class
+            # positions (0, 1) hold the class in base (SYNTH_VOCAB - 2):
+            # the digit pair is unique per class up to 98^2 classes (a
+            # multiplicative second position collided for classes 98 apart)
             ids[:, 0] = 2 + labels % (SYNTH_VOCAB - 2)
             if shape[0] > 1:
-                ids[:, 1] = 2 + (labels * 7 + 3) % (SYNTH_VOCAB - 2)
+                ids[:, 1] = 2 + (labels // (SYNTH_VOCAB - 2)) % (
+                    SYNTH_VOCAB - 2)
             modalities.append(ids.astype(np.int32))
         else:
             dirs_rng = np.random.default_rng([dirs_seed, 577, mi])

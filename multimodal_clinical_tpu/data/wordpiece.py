@@ -31,8 +31,20 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def _is_cjk(ch: str) -> bool:
+    # HF BasicTokenizer._is_chinese_char ranges: CJK ideographs are
+    # tokenized one character per token (tokenize_chinese_chars=True,
+    # the bert-base-uncased default)
+    cp = ord(ch)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
 def basic_tokenize(text: str) -> List[str]:
-    """Lowercase, strip accents, split punctuation into single tokens."""
+    """Lowercase, strip accents, split punctuation and CJK ideographs
+    into single tokens."""
     text = unicodedata.normalize("NFD", text.lower())
     out: List[str] = []
     word: List[str] = []
@@ -48,7 +60,7 @@ def basic_tokenize(text: str) -> List[str]:
             continue
         if ch.isspace():
             flush()
-        elif _is_punct(ch):
+        elif _is_punct(ch) or _is_cjk(ch):
             flush()
             out.append(ch)
         elif cat.startswith("C"):  # control chars: drop

@@ -124,7 +124,8 @@ def _train_loss(spec: ModelSpec, state: TrainState, batch: Batch, out, aux):
             loss = sum(ce)  # EnsembleBaseModel train loss is the SUM (BaseModel.py:353)
         fused = C.fuse_logits(logits, spec.fusion_weights)
         if spec.vicreg_weight:
-            v = vicreg_loss(out["embeddings"][0], out["embeddings"][1])
+            v = vicreg_loss(out["embeddings"][0], out["embeddings"][1],
+                            valid)
             loss = loss + spec.vicreg_weight * v
             aux["vicreg"] = v
         aux.update(report=logits, fused=fused)
@@ -305,7 +306,7 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
                 loss = sum(ce) / len(ce)
             if spec.vicreg_weight:
                 loss = loss + spec.vicreg_weight * vicreg_loss(
-                    out["embeddings"][0], out["embeddings"][1]
+                    out["embeddings"][0], out["embeddings"][1], valid
                 )
         else:
             report = logits

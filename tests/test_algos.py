@@ -226,3 +226,46 @@ def test_vicreg_matches_reference_torch():
     want = (loss_var + loss_inv + loss_cov).item()
     got = float(vicreg_loss(jnp.asarray(za), jnp.asarray(zb)))
     assert abs(got - want) < 1e-4
+
+
+def test_qmf_reg_loss_padded_tail_matches_smaller_batch():
+    """With a valid mask, reg_loss must equal the reference's roll over
+    the SMALLER real batch — including the wrap-around pair (last real
+    row paired with row 0), which a plain roll over the padded batch
+    would lose."""
+    conf_small = jnp.asarray([[1.0, 0.5, 0.2]])
+    idx_small = jnp.asarray([4, 1, 6])
+    table = jnp.asarray([np.linspace(0.0, 2.0, 8)])
+    want = float(qmf_lib.reg_loss(conf_small, idx_small, table))
+
+    # same 3 real rows padded to batch 5 (pad repeats the last row, the
+    # loader's padding policy)
+    conf_pad = jnp.asarray([[1.0, 0.5, 0.2, 0.2, 0.2]])
+    idx_pad = jnp.asarray([4, 1, 6, 6, 6])
+    valid = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    got = float(qmf_lib.reg_loss(conf_pad, idx_pad, table, valid))
+    assert abs(got - want) < 1e-6
+
+
+def test_qmf_reg_loss_full_batch_valid_mask_is_identity():
+    conf = jnp.asarray([[1.0, 0.5, 0.2, 0.9]])
+    idx = jnp.asarray([0, 1, 2, 3])
+    table = jnp.asarray([[0.0, 1.0, 2.0, 3.0]])
+    base = float(qmf_lib.reg_loss(conf, idx, table))
+    masked = float(qmf_lib.reg_loss(conf, idx, table, jnp.ones(4)))
+    assert abs(base - masked) < 1e-7
+
+
+def test_vicreg_padded_tail_matches_smaller_batch():
+    """valid-masked VICReg over a padded batch == plain VICReg over the
+    real rows (the reference ships the smaller last batch)."""
+    za, zb = rnd(11, 8, seed=30), rnd(11, 8, seed=31)
+    want = float(vicreg_loss(jnp.asarray(za), jnp.asarray(zb)))
+
+    pad = 5
+    za_p = np.concatenate([za, np.repeat(za[-1:], pad, axis=0)])
+    zb_p = np.concatenate([zb, np.repeat(zb[-1:], pad, axis=0)])
+    valid = np.concatenate([np.ones(11), np.zeros(pad)]).astype(np.float32)
+    got = float(vicreg_loss(jnp.asarray(za_p), jnp.asarray(zb_p),
+                            jnp.asarray(valid)))
+    assert abs(got - want) < 1e-5

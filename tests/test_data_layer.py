@@ -159,3 +159,58 @@ def test_loader_waveform_stays_f32():
     batch = next(iter(loader))
     assert batch["x1_waveform"].dtype == jnp.float32  # Pallas STFT input
     assert str(batch["x2"].dtype) == "bfloat16"
+
+
+def test_loader_abandoned_iterator_stops_producer():
+    """Breaking out of a loader loop must terminate the producer thread
+    (it used to block forever on the full prefetch queue, pinning device
+    batches and continuing H2D transfers)."""
+    import gc
+    import threading
+    import time
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset([rng.normal(size=(64, 6)).astype(np.float32)],
+                      (np.arange(64) % 4).astype(np.int32))
+    loader = Loader(ds, 4, SequentialSampler(64))
+    it = iter(loader)
+    next(it)  # producer is now running and filling the queue
+    del it    # abandon mid-epoch: generator close runs the finally block
+    gc.collect()
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        if not any(t.name.startswith("loader-producer")
+                   for t in threading.enumerate()):
+            return
+        time.sleep(0.05)
+    raise AssertionError("loader producer thread still alive after abandon")
+
+
+def test_host_shards_equal_length_when_uneven():
+    """n % process_count != 0: every host must still get the SAME number
+    of indices (wrap padding, DistributedSampler-style) — unequal shards
+    would deadlock multi-host collectives on the extra step."""
+    from multimodal_clinical_tpu.data.sampler import (
+        RandomSampler, SequentialSampler, WeightedSampler,
+    )
+
+    n, pc = 9, 2
+    for make in (
+        lambda pi: SequentialSampler(n, process_index=pi, process_count=pc),
+        lambda pi: RandomSampler(n, seed=3, process_index=pi,
+                                 process_count=pc),
+        lambda pi: WeightedSampler(np.arange(n) % 3, seed=3,
+                                   process_index=pi, process_count=pc),
+    ):
+        shards = [make(pi).indices(epoch=1) for pi in range(pc)]
+        assert len(shards[0]) == len(shards[1]) == 5 == len(make(0))
+        # the shards cover the global stream; the single wrap-padded
+        # duplicate is the stream's first element
+        recombined = np.empty(10, np.int64)
+        recombined[0::2] = shards[0]
+        recombined[1::2] = shards[1]
+        single = make(0)
+        single.process_count = 1
+        full = single.indices(epoch=1)
+        np.testing.assert_array_equal(recombined[:9], full)
+        assert recombined[9] == full[0]

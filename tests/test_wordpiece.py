@@ -70,3 +70,10 @@ def test_matches_hf_when_available(tok, tmp_path):
     theirs = hf(text, max_length=20, truncation=True,
                 padding="max_length")["input_ids"]
     np.testing.assert_array_equal(ours, theirs)
+
+
+def test_basic_tokenize_splits_cjk_per_character():
+    # HF BasicTokenizer (tokenize_chinese_chars=True, the bert-base
+    # default) emits one token per CJK ideograph, even with no spaces
+    assert basic_tokenize("你好world") == ["你", "好", "world"]
+    assert basic_tokenize("漢字テスト") == ["漢", "字", "テスト"]  # kana is NOT CJK-split
