@@ -162,6 +162,7 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
             bert_width=int(getattr(args, "legacy_bert_width", 768)),
             bert_heads=int(getattr(args, "legacy_bert_heads", 12)),
             bert_vocab=int(getattr(args, "legacy_bert_vocab", 30522)),
+            dtype=resolve_dtype(args),
         )
         # StepLR(500, 0.75) — food101/joint_model_proba_logits.py:282
         spec = ModelSpec(

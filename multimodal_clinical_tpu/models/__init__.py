@@ -4,9 +4,11 @@ from .mlp import HeadMLP, MimicMLP
 from .pretrained import ResNet18Slim, VGG11Slim
 from .resnet import (
     BasicBlock,
+    BottleneckResNetEncoder,
     ResNetEncoder,
     resnet18_encoder,
     resnet34_encoder,
+    resnet50_encoder,
     resnet101_encoder,
 )
 from .rnn import GRUNet, LstmClassifier
@@ -17,6 +19,7 @@ from .zoo import (
     EnricoVGGFusionNet,
     FakeNewsFusionNet,
     Food101FusionNet,
+    Food101LegacyFusionNet,
     MimicFusionNet,
     MustardFusionNet,
 )
@@ -32,9 +35,11 @@ __all__ = [
     "ResNet18Slim",
     "VGG11Slim",
     "BasicBlock",
+    "BottleneckResNetEncoder",
     "ResNetEncoder",
     "resnet18_encoder",
     "resnet34_encoder",
+    "resnet50_encoder",
     "resnet101_encoder",
     "GRUNet",
     "LstmClassifier",
@@ -44,6 +49,7 @@ __all__ = [
     "EnricoVGGFusionNet",
     "FakeNewsFusionNet",
     "Food101FusionNet",
+    "Food101LegacyFusionNet",
     "MimicFusionNet",
     "MustardFusionNet",
 ]

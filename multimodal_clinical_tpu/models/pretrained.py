@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .common import TorchBatchNorm, TorchDense, adaptive_avg_pool2d, global_avg_pool
+from .common import (
+    TorchBatchNorm, TorchDense, adaptive_avg_pool2d, global_avg_pool,
+    kaiming_normal_fan_out,
+)
 from .resnet import ResNetEncoder
 
 
@@ -72,10 +75,13 @@ class VGG11Slim(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), (2, 2))
             else:
+                # torchvision VGG._initialize_weights: kaiming_normal
+                # (fan_out, relu) conv kernels, zero bias
                 x = nn.Conv(
                     int(v),
                     (3, 3),
                     padding=[(1, 1), (1, 1)],
+                    kernel_init=kaiming_normal_fan_out,
                     dtype=self.dtype,
                     param_dtype=jnp.float32,
                 )(x)

@@ -196,7 +196,8 @@ class ResNetEncoder(nn.Module):
     bn_fused: bool = False
     # stem max-pool backend: "xla" (reduce_window + select-and-scatter) or
     # "pallas" (ops/maxpool_pallas.py stored-index kernels — the backward
-    # routes dy by a fwd-saved int8 argmax instead of re-scanning x).
+    # routes dy by a fwd-saved argmax tap (feature-dtype) instead of
+    # re-scanning x).
     pool_kernel: str = "xla"
     # block-level rematerialisation: None (save all residuals, XLA default),
     # "convs" (jax.checkpoint each BasicBlock, saving only conv outputs —
@@ -304,7 +305,6 @@ class BottleneckResNetEncoder(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
-    in_kernel: int = 7
     dtype: Optional[Any] = None
     bn_scale_init: Any = nn.initializers.ones
     bn_fused: bool = False

@@ -40,7 +40,6 @@ def port_resnet_encoder(
     state_dict,
     torch_prefix: str = "",
     stage_sizes=(2, 2, 2, 2),
-    torchvision_names: bool = True,
 ) -> Tuple[dict, dict]:
     """Port a torchvision-style/reference-style BasicBlock ResNet into the
     ResNetEncoder tree.  Returns (params, batch_stats).
@@ -83,8 +82,7 @@ def port_resnet_encoder(
     return params, stats
 
 
-def port_resnet18_slim(state_dict, hiddim_key: str = "classifier"
-                       ) -> Tuple[dict, dict]:
+def port_resnet18_slim(state_dict) -> Tuple[dict, dict]:
     """torchvision resnet18 (optionally with a trailing Linear classifier)
     -> ResNet18Slim tree {features, classifier}."""
     sd = _to_np(state_dict)

@@ -250,16 +250,22 @@ class TextTransformer(nn.Module):
     embed_dim: int = 256
     num_heads: int = 4
     num_layers: int = 2
+    max_len: int = 512  # fixed "pos" table size: the param tree must not
+    # depend on the batch's sequence length (checkpoints stay loadable
+    # across max_seq_len settings — repo param-tree-stability convention)
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, ids, train: bool = True):
+        if ids.shape[1] > self.max_len:
+            raise ValueError(
+                f"sequence length {ids.shape[1]} > max_len {self.max_len}")
         emb = nn.Embed(self.vocab_size, self.embed_dim,
                        param_dtype=jnp.float32, dtype=self.dtype,
                        name="embed")(ids)
         pos = self.param("pos", nn.initializers.normal(0.02),
-                         (1, ids.shape[1], self.embed_dim), jnp.float32)
-        h = emb + pos.astype(emb.dtype)
+                         (1, self.max_len, self.embed_dim), jnp.float32)
+        h = emb + pos[:, : ids.shape[1]].astype(emb.dtype)
         mask = (ids != 0)[:, None, None, :]
         for i in range(self.num_layers):
             normed = nn.LayerNorm(param_dtype=jnp.float32, name=f"ln1_{i}")(h)

@@ -7,11 +7,14 @@ traffic floor (ROADMAP.md).  This version changes the algorithm instead of
 the schedule:
 
   * forward: one Pallas kernel produces the pooled maximum AND a per-window
-    ``int8`` tap index (0..8, row-major scan order, FIRST maximal element —
-    the same routing as torch ``MaxPool2d`` / XLA select-and-scatter).
+    tap index (0..8, row-major scan order, FIRST maximal element — the same
+    routing as torch ``MaxPool2d`` / XLA select-and-scatter).  The index is
+    stored in the FEATURE dtype (bf16/f32 — 0..8 are exact; Mosaic has no
+    efficient int8 vector stores), so the idx array costs the same bytes as
+    ``y``, not 1 byte/element.
   * backward: a second kernel routes ``dy`` by the stored index.  Its HBM
-    traffic is ``write dx + read dy + read idx`` vs select-and-scatter's
-    re-read of the full-resolution input.
+    traffic is ``write dx + read dy + read idx`` (idx at feature-dtype
+    width) vs select-and-scatter's re-read of the full-resolution input.
 
 MEASURED (v5e, tools/microbench_pool_iso.py / microbench_maxpool.py): the
 backward wins in isolation (visual 8.7 vs 10.4 ms, audio 4.4 vs 4.9) but

@@ -45,11 +45,9 @@ def spec_augment(
     """spectrogram: (B, F, T[, C]) -> same shape with masked bands zeroed."""
     squeeze = False
     if spectrogram.ndim == 4:
-        chan = spectrogram.shape[-1]
         x = spectrogram
     else:
         x = spectrogram[..., None]
-        chan = 1
         squeeze = True
     b, f, t, _ = x.shape
     k1, k2 = jax.random.split(rng)
