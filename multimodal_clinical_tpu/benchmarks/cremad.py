@@ -79,6 +79,12 @@ class CremadDiskDataset:
                 frames.append(load_frame_train(path, rng))
             else:
                 frames.append(load_frame_eval(path))
+        if not frames:
+            # admission only checks the audio pickle; fail with the clip
+            # name instead of an IndexError deep in a prefetch thread
+            raise FileNotFoundError(
+                f"clip {clip_id!r}: no frames under {frame_dir!r} "
+                f"(frame extraction incomplete?)")
         while len(frames) < self.num_frames:
             frames.append(frames[-1])
         return np.stack(frames)  # (num_frames, 224, 224, 3)

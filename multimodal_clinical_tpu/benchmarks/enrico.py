@@ -56,7 +56,11 @@ def _decode_image(path: str, size=(256, 128)) -> np.ndarray:
             return out
     from PIL import Image
 
-    img = Image.open(path).convert("RGB").resize((size[1], size[0]))
+    # BILINEAR: torchvision Resize default (the reference's transform);
+    # PIL's own default (BICUBIC) would diverge from both the reference
+    # and the native decode path
+    img = Image.open(path).convert("RGB").resize((size[1], size[0]),
+                                                 resample=Image.BILINEAR)
     return (np.asarray(img, np.float32) / 255.0)  # (H, W, 3) in [0,1]
 
 

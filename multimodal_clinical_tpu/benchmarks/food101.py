@@ -122,18 +122,81 @@ def _get_legacy_data(args, data_dir: str) -> DataBundle:
                       synthetic=True)
 
 
+def _torch_state_dict(path: str) -> Dict:
+    """Local torch/HF checkpoint -> raw state dict.  Accepts a file
+    (.pth/.bin/.pt/.safetensors) or an HF snapshot dir."""
+    if os.path.isdir(path):
+        for cand in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+        else:
+            raise FileNotFoundError(
+                f"{path}: no model.safetensors / pytorch_model.bin")
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        sd = sd["state_dict"]  # lightning-style wrapper
+    return sd
+
+
 def load_pretrained(args, state):
-    """Inject SigLIP weights from a LOCAL HF snapshot (config key
-    ``siglip_weights`` pointing at a dir with model.safetensors or
-    pytorch_model.bin).  No-op when unset."""
+    """Inject tower weights from LOCAL checkpoints.  No-op when unset.
+
+      * ``siglip_weights`` — HF SigLIP snapshot dir for the default
+        dual-tower variants.
+      * ``resnet50_weights`` / ``bert_weights`` — torchvision resnet50 /
+        HF bert-base checkpoints for the legacy jprobas variants
+        (joint_model_proba_logits.py:52-66 loads IMAGENET1K_V2 +
+        bert-base-uncased; zero-egress here, so the files must be local).
+    """
     ckpt = getattr(args, "siglip_weights", None)
-    if not ckpt:
+    if ckpt:
+        from ..models.siglip import load_hf_siglip_params
+
+        params = dict(state.params)
+        params["model"] = load_hf_siglip_params(ckpt, params["model"])
+        print(f"[food101] loaded SigLIP weights from {ckpt}")
+        state = state.replace(params=params)
+
+    r50 = getattr(args, "resnet50_weights", None)
+    bert = getattr(args, "bert_weights", None)
+    if not (r50 or bert):
         return state
-    from ..models.siglip import load_hf_siglip_params
+    if "x1_model" not in state.params or "features" not in state.params[
+            "x1_model"]:
+        raise ValueError(
+            "resnet50_weights/bert_weights apply to the legacy "
+            "jprobas/jprobas_jlogits variants only (current model_type="
+            f"{getattr(args, 'model_type', '?')!r})")
+    from ..models.torch_port import port_bert, port_bottleneck_encoder
 
     params = dict(state.params)
-    params["model"] = load_hf_siglip_params(ckpt, params["model"])
-    print(f"[food101] loaded SigLIP weights from {ckpt}")
+    if r50:
+        stages = tuple(getattr(args, "legacy_stages", (3, 4, 6, 3)))
+        enc_params, enc_stats = port_bottleneck_encoder(
+            _torch_state_dict(r50), stage_sizes=stages)
+        params["x1_model"] = {**params["x1_model"], "features": enc_params}
+        stats = dict(state.batch_stats)
+        stats["x1_model"] = {**stats["x1_model"], "features": enc_stats}
+        state = state.replace(batch_stats=stats)
+        print(f"[food101] loaded resnet50 tower from {r50}")
+    if bert:
+        sd = _torch_state_dict(bert)
+        prefix = "bert." if any(k.startswith("bert.") for k in sd) else ""
+        enc = port_bert(sd, torch_prefix=prefix,
+                        num_layers=int(getattr(args, "legacy_bert_layers",
+                                               12)),
+                        num_heads=int(getattr(args, "legacy_bert_heads",
+                                              12)))
+        params["x2_model"] = {**params["x2_model"], "model": enc}
+        print(f"[food101] loaded BERT tower from {bert}")
     return state.replace(params=params)
 
 

@@ -49,7 +49,6 @@ def _load_real(path: str, task: int, seed: int):
 
     if task < 0:
         adm = np.asarray(datafile["adm_labels_all"])
-        y = adm[:, 1].copy()
         # 6-way time-to-mortality construction (mimic/get_data.py:64-80)
         y = np.select(
             [adm[:, 1] > 0, adm[:, 2] > 0, adm[:, 3] > 0, adm[:, 4] > 0,

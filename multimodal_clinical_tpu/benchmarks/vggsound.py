@@ -36,20 +36,25 @@ CROP_SEC = 5
 
 
 def _read_wav(path: str) -> np.ndarray:
-    """Read a 16-bit PCM wav to float32 in [-1, 1] (host IO only; the
-    int16->float mixdown uses the native C++ path when built)."""
+    """Read a 16-bit PCM wav to float32 mono in [-1, 1] at SR (host IO
+    only; the int16->float mixdown uses the native C++ path when built).
+    Wavs not at SR are linearly resampled — the reference's
+    librosa.load(sr=16000) resamples too (vggsound/get_data.py:106)."""
     with wave.open(path, "rb") as w:
         n = w.getnframes()
         channels = w.getnchannels()
+        rate = w.getframerate()
         data = np.frombuffer(w.readframes(n), dtype=np.int16)
-    from ..utils.native import pcm16_to_float_mono
+    from ..utils.native import pcm16_to_float_mono, resample_linear
 
     out = pcm16_to_float_mono(data, channels)
-    if out is not None:
-        return out
-    if channels > 1:
-        data = data.reshape(-1, channels).mean(axis=1)
-    return (data / 32768.0).astype(np.float32)
+    if out is None:
+        if channels > 1:
+            data = data.reshape(-1, channels).mean(axis=1)
+        out = (data / 32768.0).astype(np.float32)
+    if rate != SR:
+        out = resample_linear(out, rate, SR)
+    return out
 
 
 _VIDEO_EXTS = (".mp4", ".mov")
@@ -81,7 +86,7 @@ def _mp4_streamable(data_dir: str) -> bool:
     admitting compressed-audio mp4s would crash mid-epoch at gather time,
     so clips without extracted wavs are only admitted when the probe says
     the native PCM path works."""
-    from ..utils.native import PCM_MP4_CODECS, Mp4File
+    from ..utils.native import Mp4File, mp4_pcm_undecodable_reason
 
     video_dir = os.path.join(data_dir, "video")
     if not os.path.isdir(video_dir):
@@ -91,17 +96,16 @@ def _mp4_streamable(data_dir: str) -> bool:
             continue
         try:
             with Mp4File(os.path.join(video_dir, name)) as m:
-                codecs = [t["codec"] for t in m.tracks
-                          if t["handler"] == "soun"]
+                audio = [t for t in m.tracks if t["handler"] == "soun"]
         except Exception:
             return False
-        ok = bool(codecs) and codecs[0] in PCM_MP4_CODECS
-        if not ok:
-            print(f"[vggsound] video/{name}: audio codec "
-                  f"{codecs[0] if codecs else 'none'!r} not PCM — "
+        reason = (mp4_pcm_undecodable_reason(audio[0]) if audio
+                  else "no audio track")
+        if reason is not None:
+            print(f"[vggsound] video/{name}: {reason} — "
                   "mp4-direct streaming disabled (extract wavs via "
                   "tools/preprocess.py mp4-to-wav)")
-        return ok
+        return reason is None
     return False
 
 
@@ -135,6 +139,12 @@ class VGGSoundDiskDataset:
             rng = sample_rng(self._seed, self._epoch, int(i))
             clip_id, label = self.items[int(i)]
             wav = _read_audio(self.data_dir, clip_id)
+            if len(wav) == 0:
+                # np.tile of an empty array stays empty — without this
+                # guard a zero-frame extraction would loop forever
+                raise ValueError(
+                    f"clip {clip_id!r}: decoded audio is empty "
+                    f"(failed/truncated wav or PCM track)")
             while len(wav) < SR * 10:
                 wav = np.tile(wav, 2)
             start = rng.integers(0, SR * 5 + 1) if self.train else 0

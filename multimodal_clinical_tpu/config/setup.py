@@ -66,9 +66,14 @@ def _config_paths(dataset_dir: str, root: Optional[str] = None):
 
 
 def seed_everything(seed: int) -> int:
-    """Seed host RNGs deterministically (JAX keys are derived per-use)."""
+    """Seed host RNGs deterministically (JAX keys are derived per-use).
+
+    Note: PYTHONHASHSEED is deliberately NOT set here — it cannot affect
+    the already-running interpreter's string hashing (only child python
+    processes), so setting it would advertise determinism it doesn't
+    provide.  Nothing in this repo depends on str-hash ordering (the
+    fakenews tokenizer uses crc32 for exactly that reason)."""
     seed = int(seed)
-    os.environ["PYTHONHASHSEED"] = str(seed)
     random.seed(seed)
     np.random.seed(seed)
     return seed
@@ -117,13 +122,17 @@ def setup_configs(argv=None) -> SimpleNamespace:
         raise NotImplementedError("No directory provided, please specify flag --dir")
 
     overrides: Dict[str, Any] = {}
-    if args_cli.config and not args_cli.dir:
-        # legacy single-yaml mode: dataset name = file stem, file contents
-        # become overrides on top of the normal base+dataset merge
-        stem = os.path.splitext(os.path.basename(args_cli.config))[0]
-        args_cli.dir = stem
+    if args_cli.config:
+        # legacy single-yaml mode (ave/run_training.py:28-37): the file's
+        # contents become overrides on top of the normal base+dataset
+        # merge.  Without --dir the dataset name is the file stem; with
+        # --dir the file still applies (silently dropping it would let a
+        # user train with the wrong hyperparameters, believing they took)
         from .merge import load_yaml
 
+        if not args_cli.dir:
+            args_cli.dir = os.path.splitext(
+                os.path.basename(args_cli.config))[0]
         overrides.update(load_yaml(args_cli.config))
     for item in args_cli.set:
         key, _, raw = item.partition("=")

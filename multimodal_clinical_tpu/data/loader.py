@@ -124,6 +124,20 @@ class Loader:
 
     def _put(self, batch: Dict[str, np.ndarray]):
         if self._sharding is not None:
+            if jax.process_count() > 1:
+                # multi-host: each process holds only its strided shard of
+                # the global batch (build_loaders feeds bs/process_count
+                # rows per host); assemble the global array from the
+                # process-local rows.  plain device_put would either raise
+                # on the non-addressable devices or silently build a
+                # bs/pc-sized batch.  Assumes the data axis spans all
+                # processes (the standard DP layout; model axis is
+                # intra-host).
+                return {
+                    k: jax.make_array_from_process_local_data(
+                        self._sharding, self._transfer_cast(k, v))
+                    for k, v in batch.items()
+                }
             return {k: jax.device_put(self._transfer_cast(k, v),
                                       self._sharding)
                     for k, v in batch.items()}
@@ -131,54 +145,61 @@ class Loader:
                 for k, v in batch.items()}
 
     def __iter__(self):
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-        _END, _ERR = object(), object()
+        return prefetched_iter(self._host_batches(), self._put,
+                               self.prefetch)
 
-        def offer(item) -> bool:
-            # bounded put: gives up when the consumer abandoned the
-            # iterator, so the producer can't block forever on a full queue
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.2)
-                    return True
-                except queue.Full:
-                    continue
-            return False
 
-        def produce():
+def prefetched_iter(host_batches, put, prefetch: int):
+    """Producer-thread prefetch: overlaps ``put(next_host_batch)`` (host
+    assembly + H2D) with the consumer's device step.  Abandonment-safe:
+    breaking out / GC'ing the iterator stops the producer so it neither
+    keeps transferring batches nor pins device buffers in the queue."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, int(prefetch)))
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def offer(item) -> bool:
+        # bounded put: gives up when the consumer abandoned the
+        # iterator, so the producer can't block forever on a full queue
+        while not stop.is_set():
             try:
-                for host_batch in self._host_batches():
-                    if stop.is_set():
-                        return
-                    if not offer(self._put(host_batch)):
-                        return
-            except BaseException as exc:  # re-raised on the consumer side
-                offer((_ERR, exc))
-            else:
-                offer(_END)
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
-        thread = threading.Thread(target=produce, daemon=True,
-                                  name="loader-producer")
-        thread.start()
+    def produce():
+        try:
+            for host_batch in host_batches:
+                if stop.is_set():
+                    return
+                if not offer(put(host_batch)):
+                    return
+        except BaseException as exc:  # re-raised on the consumer side
+            offer((_ERR, exc))
+        else:
+            offer(_END)
+
+    thread = threading.Thread(target=produce, daemon=True,
+                              name="loader-producer")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] is _ERR):
+                raise item[1]
+            yield item
+    finally:
+        # runs on exhaustion AND on abandonment (break / exception /
+        # generator GC)
+        stop.set()
         try:
             while True:
-                item = q.get()
-                if item is _END:
-                    return
-                if (isinstance(item, tuple) and len(item) == 2
-                        and item[0] is _ERR):
-                    raise item[1]
-                yield item
-        finally:
-            # runs on exhaustion AND on abandonment (break / exception /
-            # generator GC): stop the producer so it neither keeps
-            # gathering+transferring batches nor pins device buffers in
-            # the queue for the rest of the process
-            stop.set()
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
-            thread.join(timeout=10.0)
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=10.0)

@@ -94,7 +94,7 @@ class WeightedSampler:
             from ..utils import native
 
             if native.available():
-                self._alias = native.AliasTable(weights)
+                self._alias = native.AliasTable(self.weights)
         except Exception:
             self._alias = None
 

@@ -94,6 +94,10 @@ class BestCheckpointer:
             backend = _default_backend()
         self.backend = backend
         self._orbax = None
+        # (tmp, final) renames deferred until the async save committed:
+        # the old artifact is only replaced once the new one is fully on
+        # disk, so a crash can never destroy the sole intact checkpoint
+        self._pending: list = []
         if backend == "orbax":
             import orbax.checkpoint as ocp  # type: ignore
 
@@ -103,15 +107,52 @@ class BestCheckpointer:
             except Exception:  # older orbax: synchronous fallback
                 self._orbax = ocp.PyTreeCheckpointer()
             atexit.register(self._wait_quiet)
+            self._recover_pending()
 
     # -- async plumbing --------------------------------------------------
+    @staticmethod
+    def _committed(path: str) -> bool:
+        """True once orbax's own atomic-rename/commit finished for path."""
+        if not os.path.isdir(path):
+            return False
+        try:
+            from orbax.checkpoint import utils as ocp_utils  # type: ignore
+
+            return bool(ocp_utils.is_checkpoint_finalized(path))
+        except Exception:
+            return True  # orbax versions that rename-on-commit: dir==done
+
+    def _recover_pending(self) -> None:
+        """Crash recovery: a committed '<name>.pending' dir is a save that
+        finished after the old artifact was slated for replacement —
+        promote it; sweep uncommitted debris."""
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            if not name.endswith(".pending"):
+                continue
+            tmp = os.path.join(self.ckpt_dir, name)
+            final = tmp[: -len(".pending")]
+            if self._committed(tmp):
+                if os.path.isdir(final):
+                    shutil.rmtree(final, ignore_errors=True)
+                os.replace(tmp, final)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+
     def wait(self) -> None:
-        """Block until any in-flight async save has committed.  Re-raises
-        a failed async save — silently losing checkpoints is worse than
-        crashing the epoch loop."""
+        """Block until any in-flight async save has committed, then swap
+        committed pendings over their final names.  Re-raises a failed
+        async save — silently losing checkpoints is worse than crashing
+        the epoch loop."""
         if self._orbax is not None and hasattr(self._orbax,
                                                "wait_until_finished"):
             self._orbax.wait_until_finished()
+        pending, self._pending = self._pending, []
+        for tmp, final in pending:
+            if not self._committed(tmp):
+                continue  # failed save: leave the old artifact intact
+            if os.path.isdir(final):
+                shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
 
     def _wait_quiet(self) -> None:
         try:
@@ -122,13 +163,18 @@ class BestCheckpointer:
     def _save(self, path: str, tree: Dict[str, Any]) -> None:
         host_tree = jax.tree_util.tree_map(np.asarray, tree)
         if self._orbax is not None:
-            self.wait()  # one in-flight save at a time
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            self._orbax.save(path, host_tree)
+            self.wait()  # one in-flight save at a time; finalizes pendings
+            tmp = path + ".pending"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._orbax.save(tmp, host_tree)
+            # swapped over `path` at the next wait(), once committed
+            self._pending.append((tmp, path))
         else:
-            with open(path + ".msgpack", "wb") as f:
+            tmp = path + ".msgpack.tmp"
+            with open(tmp, "wb") as f:
                 f.write(serialization.to_bytes(host_tree))
+            os.replace(tmp, path + ".msgpack")  # atomic on POSIX
 
     def _restore(self, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         self.wait()
@@ -147,6 +193,7 @@ class BestCheckpointer:
             return serialization.from_bytes(template, f.read())
 
     def _exists(self, path: str) -> bool:
+        self.wait()  # finalize an in-flight save of this very path first
         return os.path.isdir(path) or os.path.exists(path + ".msgpack")
 
     # -- metadata ---------------------------------------------------------
@@ -170,6 +217,11 @@ class BestCheckpointer:
             self.epochs_done = meta.get("epochs_done")
             self.steps_per_epoch = meta.get("steps_per_epoch")
             self.meta_step = meta.get("meta_step")
+            # meta is written before the async best-save commits: if the
+            # save died, forget the phantom metric so maybe_save re-saves
+            # instead of never beating a best that has no artifact
+            if not self._exists(os.path.join(self.ckpt_dir, "best")):
+                self.best_metric = float("-inf")
 
     # -- public API --------------------------------------------------------
     def maybe_save(self, state: TrainState, metric: float) -> bool:
@@ -228,12 +280,26 @@ class BestCheckpointer:
         """Restore the full state from the newest rolling checkpoint for
         exact training resume (params, BN stats, optimizer buffers, EMA,
         QMF history, step counter). None if no checkpoint exists."""
+        self.wait()  # surface step-stamped saves still in flight
         candidates = self._last_candidates()
         if not candidates:
             return None
-        path = candidates[-1][1]
         template = jax.tree_util.tree_map(np.asarray, state_to_tree(state))
-        tree = self._restore(path, template)
+        errors = []
+        # newest first; a torn/corrupt newest falls back to the older
+        # intact rolling checkpoint instead of failing the resume
+        for _, path in reversed(candidates):
+            try:
+                tree = self._restore(path, template)
+                break
+            except Exception as exc:  # noqa: BLE001
+                errors.append((path, exc))
+        else:
+            raise RuntimeError(
+                f"all rolling checkpoints unreadable: {errors}")
+        if errors:
+            print(f"[checkpoint] WARNING: skipped unreadable {errors[0][0]} "
+                  f"({errors[0][1]}); resumed from {path}")
         self._read_meta()
         return tree_into_state(state, tree)
 

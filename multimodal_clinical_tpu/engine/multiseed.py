@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.loader import Loader
-from .metrics import eval_epoch_summary
+from .metrics import eval_epoch_summary, train_epoch_summary
 from .spec import ModelSpec
 from .state import create_train_state
 from .steps import make_eval_step, make_train_step
@@ -46,15 +46,20 @@ def create_multiseed_state(spec: ModelSpec, args, sample_inputs,
 
 
 class MultiSeedLoader:
-    """Stacks S per-seed index streams into (S, B, ...) superbatches."""
+    """Stacks S per-seed index streams into (S, B, ...) superbatches.
 
-    def __init__(self, dataset, batch_size: int, samplers, mesh=None,
+    Reuses Loader's producer-thread prefetch so the next superbatch's
+    gather + stack + H2D overlaps the current vmapped device step
+    (superbatches are S× a normal batch — on the ~50 MB/s tunnel that
+    overlap is the difference between compute- and transfer-bound)."""
+
+    def __init__(self, dataset, batch_size: int, samplers,
                  prefetch: int = 2):
         self.loaders = [
             Loader(dataset, batch_size, sampler, mesh=None, prefetch=1)
             for sampler in samplers
         ]
-        self.mesh = mesh
+        self.prefetch = max(1, int(prefetch))
 
     def set_epoch(self, epoch: int) -> None:
         for loader in self.loaders:
@@ -63,17 +68,24 @@ class MultiSeedLoader:
     def __len__(self) -> int:
         return min(len(l) for l in self.loaders)
 
-    def __iter__(self):
+    def _host_superbatches(self):
         iters = [iter(l._host_batches()) for l in self.loaders]
         while True:
             try:
                 batches = [next(it) for it in iters]
             except StopIteration:
                 return
-            stacked = {
+            yield {
                 k: np.stack([b[k] for b in batches]) for k in batches[0]
             }
-            yield {k: jax.device_put(v) for k, v in stacked.items()}
+
+    def __iter__(self):
+        from ..data.loader import prefetched_iter
+
+        return prefetched_iter(
+            self._host_superbatches(),
+            lambda b: {k: jax.device_put(v) for k, v in b.items()},
+            self.prefetch)
 
 
 def make_multiseed_steps(spec: ModelSpec):
@@ -146,9 +158,15 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
         acc = EpochAccumulator()
         for batch in train_loader:
             state, metrics = train_step(state, batch)
-            acc.append({k: jnp.mean(v) for k, v in metrics.items()})
+            # (S,) device vectors appended as-is: no per-step dispatch;
+            # the one host fetch happens in the epoch summary below
+            acc.append(metrics)
+        # cross-seed & cross-step means (summary() flattens the S axis)
+        train_summary = train_epoch_summary(acc)
         last_val = eval_epoch(val_loader, "val")
         print(f"[multiseed epoch {epoch}] "
+              f"train_avg_loss="
+              f"{train_summary.get('train_epoch/train_avg_loss', 0):.4f}  "
               f"val_avg_acc={last_val.get('val_epoch/val_avg_acc', 0):.4f}"
               f" ± {last_val.get('val_epoch/val_avg_acc_std', 0):.4f}")
     summary = eval_epoch(test_loader, "test")

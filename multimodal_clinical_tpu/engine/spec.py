@@ -98,3 +98,8 @@ class ModelSpec:
             self.use_idx = True
         if self.contract == "ogm_ge":
             self.apply_grad_mod = True
+            # a None/empty modulation would silently train as plain
+            # jlogits (steps.py guards on both flags) — default to the
+            # reference's OGM_GE rather than run a mislabeled baseline
+            if not self.grad_mod_type:
+                self.grad_mod_type = "OGM_GE"

@@ -129,13 +129,20 @@ class Trainer:
         else:
             start_epoch = int(self.state.step) // steps_per_epoch
         global_step = int(self.state.step)
+        # profile the run's SECOND epoch when there is one (the first pays
+        # compilation), else its only epoch — a fixed `epoch == 1` test
+        # would silently skip profiling for num_epochs=1 or a resume
+        # landing past epoch 1
+        profile_epoch = (start_epoch + 1
+                         if num_epochs - start_epoch > 1 else start_epoch)
         last_val: Dict[str, float] = {}
         for epoch in range(start_epoch, num_epochs):
             self.train_loader.set_epoch(epoch)
             acc = EpochAccumulator()
             tic = time.perf_counter()
             samples = 0
-            profiling = self.profile_dir is not None and epoch == 1
+            profiling = (self.profile_dir is not None
+                         and epoch == profile_epoch)
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
             pending = []
@@ -147,14 +154,19 @@ class Trainer:
                     self.state, metrics = self.scan_train_step(
                         self.state, *pending)
                     samples += sum(b["label"].shape[0] for b in pending)
-                    global_step += len(pending)
+                    advanced = len(pending)
+                    global_step += advanced
                     pending = []
                 else:
                     self.state, metrics = self.train_step(self.state, batch)
                     samples += batch["label"].shape[0]
+                    advanced = 1
                     global_step += 1
                 acc.append(metrics)
-                if self.log_every and global_step % self.log_every == 0:
+                # crossing test: with K-step dispatch global_step moves in
+                # strides of K, so `% log_every == 0` would only fire every
+                # lcm(K, log_every) steps
+                if self.log_every and global_step % self.log_every < advanced:
                     self.logger.log(
                         {step_metric_name("train", k):
                          float(np.mean(np.asarray(v)))
@@ -167,9 +179,10 @@ class Trainer:
                 samples += batch["label"].shape[0]
                 global_step += 1
             if profiling:
-                jax.tree_util.tree_map(
-                    lambda x: x.block_until_ready(), self.state.params
-                )
+                # host scalar fetch of the last step's output — the real
+                # device barrier here; block_until_ready does NOT
+                # synchronize under the remote-TPU tunnel (CLAUDE.md)
+                int(jax.device_get(self.state.step))
                 jax.profiler.stop_trace()
             # one device sync per epoch, after the summary fetch
             epoch_summary = train_epoch_summary(acc)

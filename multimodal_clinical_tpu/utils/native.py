@@ -31,13 +31,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(
-            os.path.join(_NATIVE_DIR, "Makefile")):
+    if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        # always invoke make (a no-op when the .so is up to date): gating
+        # on the .so's absence would silently keep running a stale binary
+        # after the C++ sources change
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None  # no binary at all; toolchain unavailable
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -295,6 +298,26 @@ class Mp4File:
 #: compressed codecs (mp4a/AAC) still need ffmpeg.
 PCM_MP4_CODECS = {"sowt": "<i2", "twos": ">i2", "lpcm": "<i2", "raw ": "u1"}
 
+#: sample width each fourcc is decoded at (bits == 0 means the stsd entry
+#: left it unset — accepted as the codec's natural width)
+_PCM_BITS = {"sowt": 16, "twos": 16, "lpcm": 16, "raw ": 8}
+
+
+def mp4_pcm_undecodable_reason(track: dict) -> Optional[str]:
+    """None if the audio track is decodable by ``read_mp4_pcm_mono``,
+    else a human-readable reason.  'lpcm' in particular can carry 24-bit
+    or float samples — reinterpreting those as int16 would yield noise,
+    so width is checked, not just the fourcc."""
+    codec = track.get("codec")
+    if codec not in PCM_MP4_CODECS:
+        return f"audio codec {codec!r} needs ffmpeg (native path decodes PCM only)"
+    bits = int(track.get("bits") or 0)
+    want = _PCM_BITS[codec]
+    if bits not in (0, want):
+        return (f"PCM codec {codec!r} with {bits}-bit samples "
+                f"(native path decodes {want}-bit only)")
+    return None
+
 
 def read_mp4_pcm_mono(path: str) -> Tuple[np.ndarray, int]:
     """Decode the first PCM audio track of an MP4/MOV to float32 mono.
@@ -313,11 +336,10 @@ def read_mp4_pcm_mono(path: str) -> Tuple[np.ndarray, int]:
         t = tracks[0]
         tr = m.tracks[t]
         codec = tr["codec"]
-        dtype = PCM_MP4_CODECS.get(codec)
-        if dtype is None:
-            raise ValueError(
-                f"{path}: audio codec {codec!r} needs ffmpeg (native path "
-                "decodes PCM only)")
+        reason = mp4_pcm_undecodable_reason(tr)
+        if reason is not None:
+            raise ValueError(f"{path}: {reason}")
+        dtype = PCM_MP4_CODECS[codec]
         raw = m.read_range(t, 0, tr["n_samples"]).tobytes()
         data = np.frombuffer(raw, dtype=dtype).astype(np.float32)
         if dtype == "u1":

@@ -76,3 +76,17 @@ def test_setup_configs_legacy_config_flag(tmp_path):
     assert args.batch_size == 12
     assert args.model_type == "ensemble"
     assert args.num_classes == 10  # from configs/avmnist.yaml base merge
+
+
+def test_setup_configs_config_with_dir_applies_overlay(tmp_path):
+    # --config alongside --dir must apply (not be silently dropped)
+    cfg = tmp_path / "tuned.yaml"
+    cfg.write_text("batch_size: 24\nlearning_rate: 0.5\n")
+    args = setup_configs(["--dir", "avmnist", "--config", str(cfg)])
+    assert args.dir == "avmnist"
+    assert args.batch_size == 24
+    assert args.learning_rate == 0.5
+    # --set still wins over the --config overlay
+    args2 = setup_configs(["--dir", "avmnist", "--config", str(cfg),
+                           "--set", "batch_size=4"])
+    assert args2.batch_size == 4

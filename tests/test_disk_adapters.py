@@ -156,3 +156,33 @@ def test_cremad_gather_worker_invariant(tmp_path):
     # a different epoch re-draws the augmentations
     c = epoch_batches(workers=1, epoch=1)
     assert not np.allclose(a[0]["x2"], c[0]["x2"], atol=1e-3)
+
+
+def test_vggsound_wav_resampled_and_empty_audio_guarded(tmp_path):
+    """Wavs not at 16 kHz are resampled (the reference's librosa.load
+    resamples, vggsound/get_data.py:106); an empty decode raises instead
+    of looping forever in the pad-by-tiling loop."""
+    from multimodal_clinical_tpu.benchmarks import vggsound
+
+    d = tmp_path
+    rows = [("vidA", "0", "dog", "train"), ("vidB", "0", "cat", "train"),
+            ("vidA", "0", "dog", "test")]
+    with open(d / "vggsound.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    os.makedirs(d / "audio")
+    _write_wav(d / "audio" / "vidA_0.wav", seconds=2, sr=32000)
+    _write_wav(d / "audio" / "vidB_0.wav", seconds=0, sr=16000)  # empty
+    for clip in ("vidA_0", "vidB_0"):
+        _write_frames(str(d / "frames" / clip), 2)
+
+    # unit level: 2 s at 32 kHz -> 32000 samples at 16 kHz
+    wav = vggsound._read_wav(str(d / "audio" / "vidA_0.wav"))
+    assert abs(len(wav) - 32000) <= 1
+
+    args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,
+                           use_video_frames=2, model_type="jprobas")
+    bundle = vggsound.get_data(args)
+    batch = bundle.train.gather(np.array([0]))
+    assert batch["x1_waveform"].shape == (1, 80000)
+    with pytest.raises(ValueError, match="empty"):
+        bundle.train.gather(np.array([1]))

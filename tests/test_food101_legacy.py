@@ -91,6 +91,82 @@ def test_bert_encoder_matches_hf_torch():
                                atol=2e-5)
 
 
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference checkout not present")
+def test_load_pretrained_ports_local_tower_checkpoints(tmp_path):
+    """`resnet50_weights` / `bert_weights` config keys inject local torch
+    checkpoints into the legacy towers (food101/joint_model_proba_logits
+    .py:52-66 downloads them; zero-egress here, so files are local)."""
+    transformers = pytest.importorskip("transformers")
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import food101
+    from multimodal_clinical_tpu.engine.state import create_train_state
+
+    ref = _load_reference_backbone()
+    torch.manual_seed(0)
+    r50 = ref.ResNet(ref.Bottleneck, [1, 1, 1, 1], "visual")
+    torch.save(r50.state_dict(), tmp_path / "resnet50.pth")
+    cfg = transformers.BertConfig(
+        vocab_size=500, hidden_size=96, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=384)
+    torch.manual_seed(1)
+    hf = transformers.BertModel(cfg)
+    torch.save(hf.state_dict(), tmp_path / "bert.pth")
+
+    args = SimpleNamespace(
+        num_classes=4, batch_size=8, learning_rate=0.05, num_epochs=1,
+        use_scheduler=True, seed=0, model_type="jprobas",
+        legacy_stages=(1, 1, 1, 1), legacy_bert_layers=2,
+        legacy_bert_width=96, legacy_bert_heads=4, legacy_bert_vocab=500,
+        resnet50_weights=str(tmp_path / "resnet50.pth"),
+        bert_weights=str(tmp_path / "bert.pth"),
+    )
+    spec, _ = food101.get_model_spec(args, n_train=8)
+    sample = [np.zeros((2, 32, 32, 3), np.float32),
+              np.zeros((2, 10), np.int32)]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=1)
+    state = food101.load_pretrained(args, state)
+
+    from multimodal_clinical_tpu.models.torch_port import (
+        port_bert, port_bottleneck_encoder,
+    )
+
+    want_p, want_s = port_bottleneck_encoder(r50.state_dict(),
+                                             stage_sizes=(1, 1, 1, 1))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["x1_model"]["features"]["Conv_0"]["kernel"]),
+        want_p["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(
+        np.asarray(state.batch_stats["x1_model"]["features"]["_BN_0"]
+                   ["BatchNorm_0"]["mean"]),
+        want_s["_BN_0"]["BatchNorm_0"]["mean"])
+    want_bert = port_bert(hf.state_dict(), num_layers=2, num_heads=4)
+    np.testing.assert_array_equal(
+        np.asarray(state.params["x2_model"]["model"]["word_embeddings"]
+                   ["embedding"]),
+        want_bert["word_embeddings"]["embedding"])
+    # the injected trees still run a forward pass
+    out = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.zeros((2, 32, 32, 3), jnp.float32),
+        jnp.zeros((2, 10), jnp.int32), train=False)
+    assert np.asarray(out["logits"][0]).shape == (2, 4)
+
+    # the keys only make sense for the legacy variants
+    args.model_type = "qmf"
+    spec2, _ = food101.get_model_spec(args, n_train=8)
+    state2 = create_train_state(
+        spec2, args, jax.random.PRNGKey(0),
+        [np.zeros((2, 10), np.int32),
+         np.zeros((2, 224, 224, 3), np.float32)],  # SigLIP pos table is 14x14
+        steps_per_epoch=1)
+    with pytest.raises(ValueError, match="legacy"):
+        food101.load_pretrained(args, state2)
+
+
 def test_legacy_model_types_run_e2e(tmp_path):
     """Both legacy model_types train end-to-end on the synthetic twin
     (shrunken towers for CPU speed)."""

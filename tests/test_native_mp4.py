@@ -343,7 +343,7 @@ def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
     with pytest.raises(FileNotFoundError, match="0 train clips"):
         get_data(args)
     out = capsys.readouterr().out
-    assert "not PCM" in out
+    assert "needs ffmpeg" in out
 
 
 def test_vggsound_adapter_rejects_empty_test_split(tmp_path):
@@ -372,3 +372,17 @@ def test_vggsound_adapter_rejects_empty_test_split(tmp_path):
                           "use_video_frames": 2, "num_classes": 2})()
     with pytest.raises(FileNotFoundError, match="0 test clips"):
         get_data(args)
+
+
+def test_mp4_pcm_bits_guard():
+    """'lpcm' can carry 24-bit/float samples — fourcc alone must not admit
+    a track the int16 decode would turn to noise."""
+    from multimodal_clinical_tpu.utils.native import mp4_pcm_undecodable_reason
+
+    assert mp4_pcm_undecodable_reason({"codec": "sowt", "bits": 16}) is None
+    assert mp4_pcm_undecodable_reason({"codec": "lpcm", "bits": 0}) is None
+    assert mp4_pcm_undecodable_reason({"codec": "raw ", "bits": 8}) is None
+    assert "24-bit" in mp4_pcm_undecodable_reason(
+        {"codec": "lpcm", "bits": 24})
+    assert "ffmpeg" in mp4_pcm_undecodable_reason(
+        {"codec": "mp4a", "bits": 16})
