@@ -37,7 +37,7 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 392.0  # vggsound/README.md:5-6 (1.75 it/s @ 224)
 
 
-def _fabricate_cremad_corpus(root: str, n_clips: int = 96) -> None:
+def _fabricate_cremad_corpus(root: str, n_clips: int = 128) -> None:
     """Synthetic on-disk Crema-D corpus: pickled (257, 1004) spectrograms +
     3 JPEG frames per clip + train.csv — so the END-TO-END bench exercises
     the real host path (pickle load, JPEG decode, torchvision-port
@@ -93,7 +93,9 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4):
 
     root = tempfile.mkdtemp(prefix="cremad_bench_")
     try:
-        _fabricate_cremad_corpus(root)
+        # corpus a multiple of the batch: a tail batch's padded rows would
+        # count as processed samples and inflate the samples/sec
+        _fabricate_cremad_corpus(root, n_clips=2 * batch)
         args = SimpleNamespace(
             num_classes=6, batch_size=batch, learning_rate=1e-3,
             num_epochs=100, use_scheduler=True, seed=0, data_path=root + "/",
@@ -197,7 +199,7 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
     try:
         os.makedirs(os.path.join(root, "tokens"), exist_ok=True)
         rng = np.random.default_rng(0)
-        n = 192
+        n = 2 * batch  # multiple of the batch: no padded tail rows in the metric
         with open(os.path.join(root, "my_train_food.txt"), "w") as f:
             for i in range(n):
                 stem = f"img{i:04d}"
@@ -247,46 +249,14 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
 
 
 def main(batch=224, warmup=3, iters=20):
-    from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
-    from multimodal_clinical_tpu.engine.spec import ModelSpec
-    from multimodal_clinical_tpu.engine.state import create_train_state
-    from multimodal_clinical_tpu.engine.steps import make_train_step
-    from multimodal_clinical_tpu.models.zoo import CremadFusionNet
-
-    num_classes = 309
-    rng = np.random.default_rng(0)
-    wave = rng.normal(scale=0.1, size=(batch, 80000)).astype(np.float32)
-    frames = rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32)
-    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
-
-    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
-                           learning_rate=1e-2, num_epochs=60,
-                           use_scheduler=False, seed=0)
-    spec = ModelSpec(
-        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16,
-                               pool_kernel=os.environ.get("MMCT_POOL",
-                                                          "xla")),
-        contract="jprobas",
-        device_preprocess=device_preprocess,
+    from multimodal_clinical_tpu.benchmarks.vggsound_fixture import (
+        build_vggsound_bench,
     )
-    spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
-    state = create_train_state(
-        spec, args, jax.random.PRNGKey(0),
-        [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
-        steps_per_epoch=100,
-    )
-    import ml_dtypes
 
-    batch_dict = {
-        "x1_waveform": jax.device_put(wave),  # f32: Pallas STFT input
-        # frames ship as bf16 exactly like the production Loader's
-        # transfer cast (math-identical to the stem's own cast)
-        "x2": jax.device_put(frames.astype(ml_dtypes.bfloat16)),
-        "label": jax.device_put(label),
-        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
-        "valid": jax.device_put(np.ones(batch, np.float32)),
-    }
-    train_step = make_train_step(spec)
+    # one shared fixture for bench + perf tools (frames ship bf16 like the
+    # production Loader's transfer cast — math-identical to the stem cast)
+    train_step, state, batch_dict, _spec = build_vggsound_bench(
+        batch, pool_kernel=os.environ.get("MMCT_POOL", "xla"))
 
     for _ in range(warmup):
         state, metrics = train_step(state, batch_dict)

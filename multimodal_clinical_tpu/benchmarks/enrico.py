@@ -176,13 +176,19 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     dropout_p = float(getattr(args, "dropout_p", 0.2) or 0.2)
     if model_type in ("jlogits", "jlogits_counts"):
         dt = resolve_dtype(args)
-        module = (EnricoVGGFusionNet(num_classes, dropout_p=dropout_p,
+        if model_type == "jlogits_counts":
+            module = EnricoVGGFusionNet(num_classes, dropout_p=dropout_p,
+                                        dtype=dt)
+            # VGG11Slim freezes its whole conv stack (inline Conv/BN layers)
+            frozen = tuple(f"{t}/{m}" for t in ("x1_model", "x2_model")
+                           for m in ("Conv_", "TorchBatchNorm_"))
+        else:
+            module = EnricoFusionNet(num_classes, freeze_features=True,
                                      dtype=dt)
-                  if model_type == "jlogits_counts"
-                  else EnricoFusionNet(num_classes, freeze_features=True,
-                                       dtype=dt))
+            frozen = ("x1_model/features", "x2_model/features")
         spec = ModelSpec(module=module, contract="jlogits",
                          sched_step_size=10, sched_gamma=0.5,
+                         frozen_prefixes=frozen,
                          track_min_loss_counts=(model_type == "jlogits_counts"))
     elif model_type in ("ensemble", "ensemble_counts"):
         module = EnricoFusionNet(num_classes, freeze_features=False,

@@ -230,6 +230,7 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         # StepLR(500, 0.75) — food101/joint_model_proba_logits.py:282
         spec = ModelSpec(
             module=legacy, contract="jprobas",
+            frozen_prefixes=("x1_model/features", "x2_model/model"),
             eval_fusion="logits" if model_type == "jprobas_jlogits" else None,
             sched_step_size=500, sched_gamma=0.75)
     else:

@@ -55,14 +55,27 @@ class Food101LegacyDiskDataset:
             print("[food101-legacy] no local vocab.txt; "
                   "crc32 hash tokenizer in use (documented divergence)")
 
-        self.items = []
-        with open(os.path.join(data_dir, f"texts_{split}.csv"),
-                  newline="") as f:
-            for row in csv.reader(f):
-                if len(row) >= 3:
-                    self.items.append((row[0], row[1], row[2]))
-        foods = sorted({food for _, _, food in self.items})
+        def read_rows(name):
+            with open(os.path.join(data_dir, name), newline="") as f:
+                return [(r[0], r[1], r[2]) for r in csv.reader(f)
+                        if len(r) >= 3]
+
+        self.items = read_rows(f"texts_{split}.csv")
+        # label space from the TRAIN split for every split (same policy as
+        # the vggsound train-derived class map): a per-split sorted-unique
+        # map would silently renumber every class after one absent from a
+        # filtered/subset split, collapsing eval accuracy toward chance
+        train_rows = (self.items if split == "train"
+                      else read_rows("texts_train.csv"))
+        foods = sorted({food for _, _, food in train_rows})
         self._food2idx = {food: i for i, food in enumerate(foods)}
+        unknown = ({food for _, _, food in self.items}
+                   - self._food2idx.keys())
+        if unknown:
+            raise ValueError(
+                f"texts_{split}.csv contains foods absent from "
+                f"texts_train.csv: {sorted(unknown)[:5]} — the train split "
+                f"defines the label space")
         self.labels = np.asarray(
             [self._food2idx[food] for _, _, food in self.items], np.int32)
 

@@ -67,6 +67,13 @@ class ModelSpec:
     # --- VICReg (enrico/ensemble_model_vicreg.py:151) ---
     vicreg_weight: float = 0.0
 
+    # --- frozen towers (requires_grad=False equivalents) ---
+    # '/'-joined param-tree path prefixes whose modules stop_gradient
+    # their outputs; exempted from weight decay so the net update is
+    # exactly 0, matching torch SGD's skip of grad-less params
+    # (enrico/ensemble_model.py:37-38, food101/joint_model_proba.py).
+    frozen_prefixes: Tuple[str, ...] = ()
+
     # --- analysis streams ---
     # per-sample min-loss counters over {joint, x1, x2}
     # (enrico/joint_model_counts.py:116-135, ensemble_model_counts.py)

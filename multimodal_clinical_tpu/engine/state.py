@@ -48,14 +48,40 @@ def make_lr_schedule(base_lr: float, use_scheduler: bool, steps_per_epoch: int,
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def _wd_mask_fn(frozen_prefixes):
+    """params -> bool pytree: False on frozen subtrees.  Frozen modules
+    realize requires_grad=False via stop_gradient, so their grads are
+    exactly 0 — masking weight decay there makes the total update 0
+    (momentum trace stays 0), i.e. torch's bit-exact freeze, instead of
+    silently shrinking 'frozen' pretrained towers by wd each step."""
+    from flax import traverse_util
+
+    def mask(params):
+        flat = traverse_util.flatten_dict(params)
+        out = {
+            k: not any("/".join(k).startswith(p) for p in frozen_prefixes)
+            for k in flat
+        }
+        return traverse_util.unflatten_dict(out)
+
+    return mask
+
+
 def make_optimizer(schedule: optax.Schedule, momentum: float = 0.9,
-                   weight_decay: float = 1.0e-4) -> optax.GradientTransformation:
+                   weight_decay: float = 1.0e-4,
+                   frozen_prefixes=()) -> optax.GradientTransformation:
     """SGD(momentum, weight_decay) matching torch ordering: wd is added to the
     gradient before the momentum buffer (torch.optim.SGD), i.e. AFTER any
-    OGM-GE modulation of the raw loss gradient."""
+    OGM-GE modulation of the raw loss gradient.
+
+    ``frozen_prefixes`` (param-tree path prefixes, '/'-joined) exempt
+    frozen subtrees from weight decay — torch's SGD never touches
+    requires_grad=False params (p.grad is None), so wd on stop_gradient'd
+    towers would be a silent divergence (enrico/ensemble_model.py:37-38)."""
     parts = []
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay))
+        mask = _wd_mask_fn(tuple(frozen_prefixes)) if frozen_prefixes else None
+        parts.append(optax.add_decayed_weights(weight_decay, mask=mask))
     if momentum:
         parts.append(optax.trace(decay=momentum, nesterov=False))
     parts.append(optax.scale_by_learning_rate(schedule))
@@ -89,7 +115,8 @@ def create_train_state(
         spec.sched_gamma,
         int(getattr(args, "num_epochs", 1)),
     )
-    tx = make_optimizer(schedule, momentum=momentum, weight_decay=weight_decay)
+    tx = make_optimizer(schedule, momentum=momentum, weight_decay=weight_decay,
+                        frozen_prefixes=spec.frozen_prefixes)
     opt_state = tx.init(params)
 
     num_classes = int(args.num_classes)

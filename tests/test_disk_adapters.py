@@ -186,3 +186,34 @@ def test_vggsound_wav_resampled_and_empty_audio_guarded(tmp_path):
     assert batch["x1_waveform"].shape == (1, 80000)
     with pytest.raises(ValueError, match="empty"):
         bundle.train.gather(np.array([1]))
+
+
+def test_food101_legacy_label_space_is_train_derived(tmp_path):
+    """A food absent from the test csv must not renumber later classes:
+    all splits share the train-derived label map (same policy as the
+    vggsound shared class map)."""
+    from multimodal_clinical_tpu.data.food101_legacy import (
+        Food101LegacyDiskDataset,
+    )
+
+    (tmp_path / "texts_train.csv").write_text(
+        "apple_pie_0001.jpg,some text,apple_pie\n"
+        "baklava_0001.jpg,other text,baklava\n"
+        "carrot_cake_0001.jpg,more text,carrot_cake\n")
+    # test split lacks 'baklava' — per-split maps would give carrot_cake
+    # id 1 here vs 2 in train
+    (tmp_path / "texts_test.csv").write_text(
+        "apple_pie_0002.jpg,t,apple_pie\n"
+        "carrot_cake_0002.jpg,t,carrot_cake\n")
+    args = SimpleNamespace(max_seq_len=8, legacy_bert_vocab=100, seed=0)
+    train = Food101LegacyDiskDataset(str(tmp_path), "train", args)
+    test = Food101LegacyDiskDataset(str(tmp_path), "test", args)
+    assert dict(zip([f for _, _, f in train.items], train.labels))[
+        "carrot_cake"] == 2
+    assert dict(zip([f for _, _, f in test.items], test.labels))[
+        "carrot_cake"] == 2
+
+    # a test-only food is an error, not a silent new class
+    (tmp_path / "texts_test.csv").write_text("durian_0001.jpg,t,durian\n")
+    with pytest.raises(ValueError, match="durian"):
+        Food101LegacyDiskDataset(str(tmp_path), "test", args)

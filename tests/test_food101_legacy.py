@@ -203,3 +203,58 @@ def test_legacy_model_types_run_e2e(tmp_path):
         # StepLR(500, 0.75) wired (food101/joint_model_proba_logits.py:282)
         assert spec.sched_step_size == 500
         assert spec.sched_gamma == 0.75
+
+
+def test_frozen_towers_stay_bit_exact_under_training():
+    """requires_grad=False parity: the frozen towers must not move AT ALL
+    (torch SGD skips grad-less params, so weight decay never touches them
+    — enrico/ensemble_model.py:37-38).  stop_gradient alone would leak a
+    wd*param update through optax.add_decayed_weights each step."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import food101
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+
+    args = SimpleNamespace(
+        num_classes=3, batch_size=8, learning_rate=0.1, num_epochs=2,
+        use_scheduler=False, seed=0, model_type="jprobas",
+        legacy_stages=(1, 1), legacy_bert_layers=1, legacy_bert_width=32,
+        legacy_bert_heads=4, legacy_bert_vocab=64,
+    )
+    spec, _ = food101.get_model_spec(args, n_train=8)
+    assert spec.frozen_prefixes  # the contract under test
+    rng = np.random.default_rng(0)
+    sample = [rng.normal(size=(2, 32, 32, 3)).astype(np.float32),
+              rng.integers(1, 64, size=(2, 12)).astype(np.int32)]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=4)
+    frozen_before = jax.tree_util.tree_map(
+        np.array, state.params["x1_model"]["features"])
+    bert_before = jax.tree_util.tree_map(
+        np.array, state.params["x2_model"]["model"])
+    head_before = np.array(
+        state.params["x1_model"]["fc"]["Dense_0"]["kernel"])
+
+    step = make_train_step(spec)
+    batch = {
+        "x1": jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32),
+        "x2": jnp.asarray(rng.integers(1, 64, size=(8, 12)), jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 3, size=8), jnp.int32),
+        "idx": jnp.arange(8, dtype=jnp.int32),
+        "valid": jnp.ones(8, jnp.float32),
+    }
+    for _ in range(3):
+        state, _metrics = step(state, batch)
+
+    for before, after in (
+        (frozen_before, state.params["x1_model"]["features"]),
+        (bert_before, state.params["x2_model"]["model"]),
+    ):
+        jax.tree_util.tree_map(
+            lambda b, a: np.testing.assert_array_equal(b, np.asarray(a)),
+            before, after)
+    assert not np.array_equal(head_before,
+                              np.asarray(state.params["x1_model"]["fc"]
+                                         ["Dense_0"]["kernel"]))

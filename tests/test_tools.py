@@ -162,3 +162,54 @@ def test_food101_tokens_pixel_path(tmp_path):
     # reference stores CHW with the SigLIP 0.5/0.5 normalization
     assert px.shape == (1, 3, 224, 224)
     assert -1.01 <= px.min() and px.max() <= 1.01
+
+
+def test_vggsound_split_routes_tar_shards(tmp_path):
+    """make_train_test_split.py parity: shard extraction + csv-driven
+    train/test routing, stdlib tarfile+gzip."""
+    import csv
+    import gzip
+    import subprocess
+    import sys
+    import tarfile
+
+    root = tmp_path / "vgg"
+    root.mkdir()
+    clips = [("vidA", 0, "dog", "train"), ("vidB", 3, "cat", "test"),
+             ("vidC", 7, "dog", "train")]
+    with open(tmp_path / "vggsound.csv", "w", newline="") as f:
+        csv.writer(f).writerows(clips)
+    # two shards: one .tar.gz, one plain .tar, with nested member paths
+    names = [f"{c}_{str(s).zfill(6)}.mp4" for c, s, _, _ in clips]
+    payloads = {n: bytes([i] * 64) for i, n in enumerate(names)}
+
+    def add(tar, member_name, data):
+        import io
+        info = tarfile.TarInfo(member_name)
+        info.size = len(data)
+        tar.addfile(info, io.BytesIO(data))
+
+    tar0 = root / "vggsound_00.tar"
+    with tarfile.open(tar0, "w") as t:
+        add(t, f"scratch/{names[0]}", payloads[names[0]])
+        add(t, f"scratch/{names[1]}", payloads[names[1]])
+        add(t, "scratch/not_in_csv.mp4", b"xx")
+    raw = (root / "_tmp.tar")
+    with tarfile.open(raw, "w") as t:
+        add(t, f"nested/dir/{names[2]}", payloads[names[2]])
+    with open(raw, "rb") as f_in, gzip.open(root / "vggsound_01.tar.gz",
+                                            "wb") as f_out:
+        f_out.write(f_in.read())
+    raw.unlink()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "preprocess.py"),
+         "vggsound-split", "--data-root", str(root),
+         "--csv-file", str(tmp_path / "vggsound.csv"), "--cleanup"],
+        check=True, capture_output=True, cwd=repo)
+    assert (root / "train" / names[0]).read_bytes() == payloads[names[0]]
+    assert (root / "test" / names[1]).read_bytes() == payloads[names[1]]
+    assert (root / "train" / names[2]).read_bytes() == payloads[names[2]]
+    assert not (root / "train" / "not_in_csv.mp4").exists()
+    assert not (root / "vggsound_01.tar").exists()  # --cleanup

@@ -215,8 +215,8 @@ def main(argv=None):
         cfg_argv += ["--set", kv]
     args = setup_configs(cfg_argv)
     benchmark = get_benchmark(args.dir)
-    platforms = (a.platforms.split(",") if a.platforms
-                 else [jax.default_backend()])
+    platforms = ([p.strip() for p in a.platforms.split(",") if p.strip()]
+                 if a.platforms else [jax.default_backend()])
     out_dir = a.out or os.path.join(a.ckpt or ".", f"serving_{args.dir}")
     return export_benchmark(args, benchmark, a.ckpt, a.which, a.batch,
                             out_dir, platforms)

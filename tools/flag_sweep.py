@@ -17,9 +17,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
-from types import SimpleNamespace
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
@@ -50,35 +47,14 @@ CANDIDATES = [
 
 
 def build():
-    from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
-    from multimodal_clinical_tpu.engine.spec import ModelSpec
-    from multimodal_clinical_tpu.engine.state import create_train_state
+    # the production bench program, from the one shared fixture; this
+    # sweep re-lowers the RAW step so compiler_options apply per-compile
+    from multimodal_clinical_tpu.benchmarks.vggsound_fixture import (
+        build_vggsound_bench,
+    )
     from multimodal_clinical_tpu.engine.steps import make_train_step
-    from multimodal_clinical_tpu.models.zoo import CremadFusionNet
 
-    batch, num_classes = 224, 309
-    rng = np.random.default_rng(0)
-    wave = rng.normal(scale=0.1, size=(batch, 80000)).astype(np.float32)
-    frames = rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32)
-    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
-    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
-                           learning_rate=1e-2, num_epochs=60,
-                           use_scheduler=False, seed=0)
-    spec = ModelSpec(
-        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16),
-        contract="jprobas", device_preprocess=device_preprocess)
-    spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
-    state = create_train_state(
-        spec, args, jax.random.PRNGKey(0),
-        [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
-        steps_per_epoch=100)
-    batch_dict = {
-        "x1_waveform": jax.device_put(wave),
-        "x2": jax.device_put(frames),
-        "label": jax.device_put(label),
-        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
-        "valid": jax.device_put(np.ones(batch, np.float32)),
-    }
+    _jitted, state, batch_dict, spec = build_vggsound_bench()
     step = make_train_step(spec, jit=False)
     return step, state, batch_dict
 

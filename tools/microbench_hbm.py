@@ -61,9 +61,15 @@ def main():
         @jax.jit
         def chain_red(x):
             def body(i, carry):
-                s = jnp.sum(x.astype(jnp.float32), axis=(0, 1, 2))
-                q = jnp.sum(jnp.square(x.astype(jnp.float32)),
-                            axis=(0, 1, 2))
+                # the reduction source must depend on the carry: with a
+                # loop-invariant x, XLA's while-loop LICM hoists the big
+                # sums out of the loop and the probe divides ONE
+                # reduction's time by K (up to K-times-overstated GB/s).
+                # 1e-38*carry perturbs values by ~0 but defeats hoisting
+                # while keeping traffic at exactly one read of x per pass.
+                xi = x.astype(jnp.float32) + carry[:1] * 1e-38
+                s = jnp.sum(xi, axis=(0, 1, 2))
+                q = jnp.sum(jnp.square(xi), axis=(0, 1, 2))
                 return carry + s + q * 1e-6
             return jax.lax.fori_loop(0, K, body,
                                      jnp.zeros((c,), jnp.float32))

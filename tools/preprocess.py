@@ -16,6 +16,9 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
   food101-tokens  image+text -> SigLIP input_ids / pixel_values .npy pairs
                   (food101/extract_token.py:45-69; HF tokenizer gated,
                   pixel path always available via PIL)
+  vggsound-split  extract vggsound_NN.tar[.gz] shards and route clips to
+                  train/test per the csv (make_train_test_split.py, stdlib
+                  tarfile/gzip)
   check-frames    report clip dirs with fewer than N frames
                   (vggsound/check_frames.py:4-22)
   fix-missing     reconcile a csv list against extracted files
@@ -30,6 +33,7 @@ import argparse
 import csv
 import os
 import pickle
+import re
 import shutil
 import subprocess
 import sys
@@ -38,6 +42,13 @@ import wave
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# entry-point convention (CLAUDE.md): persistent compile cache (cremad-audio
+# runs jitted device code) + warm_heap (large wav/spectrogram batches are
+# first-touch-bound on lazy-memory VMs)
+from multimodal_clinical_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 TARGET_SR = 16000
 
@@ -210,7 +221,7 @@ def cmd_video_frames(args):
             start, end = segments[clip]
             seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", *seg, "-i", src,
+            ["ffmpeg", "-y", "-loglevel", "error", *seg, "-i", src,
              "-vf", f"fps={args.fps}", "-q:v", "2",
              os.path.join(out_dir, "frame_%05d.jpg")],
             check=True,
@@ -243,7 +254,7 @@ def cmd_mp4_to_wav(args):
             start, end = segments[clip]
             seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
         subprocess.run(
-            ["ffmpeg", "-loglevel", "error", *seg, "-i", src, "-ac", "1",
+            ["ffmpeg", "-y", "-loglevel", "error", *seg, "-i", src, "-ac", "1",
              "-ar", str(TARGET_SR),
              os.path.join(args.out, clip + ".wav")],
             check=True,
@@ -384,6 +395,62 @@ def cmd_fakenews_embed(args):
           f"to {args.out}")
 
 
+def cmd_vggsound_split(args):
+    """Extract vggsound_NN.tar.gz shards and route each clip into
+    data_root/{train,test}/ per the csv's split column
+    (vggsound/make_train_test_split.py:26-70, stdlib tarfile+gzip instead
+    of pandas+pigz; pigz is used when on PATH).  Idempotent: already-
+    routed clips are skipped."""
+    import gzip
+    import tarfile
+
+    mapping = {}
+    with open(args.csv_file) as f:
+        for row in csv.reader(f):
+            if len(row) >= 4:
+                name = f"{row[0]}_{str(row[1]).zfill(6)}.mp4"
+                mapping[name] = row[3].strip()
+    for split in ("train", "test"):
+        os.makedirs(os.path.join(args.data_root, split), exist_ok=True)
+
+    shards = sorted(n for n in os.listdir(args.data_root)
+                    if re.fullmatch(r"vggsound_\d+\.tar(\.gz)?", n))
+    routed = skipped = 0
+    for shard in shards:
+        path = os.path.join(args.data_root, shard)
+        if shard.endswith(".gz"):
+            tar_path = path[:-3]
+            if not os.path.exists(tar_path):
+                if shutil.which("pigz"):
+                    subprocess.run(["pigz", "-d", "-k", path], check=True)
+                else:
+                    with gzip.open(path, "rb") as src, \
+                            open(tar_path, "wb") as dst:
+                        shutil.copyfileobj(src, dst, 1 << 20)
+        else:
+            tar_path = path
+        with tarfile.open(tar_path, "r") as tar:
+            for member in tar:
+                if not member.isfile():
+                    continue
+                file_name = member.name.split("/")[-1]
+                split = mapping.get(file_name)
+                if split is None:
+                    continue  # not in the csv (e.g. scratch dirs)
+                dst = os.path.join(args.data_root, split, file_name)
+                if os.path.exists(dst):
+                    skipped += 1
+                    continue
+                src = tar.extractfile(member)
+                with open(dst, "wb") as out:
+                    shutil.copyfileobj(src, out, 1 << 20)
+                routed += 1
+        if args.cleanup and tar_path != path:
+            os.remove(tar_path)
+    print(f"routed {routed} clips ({skipped} already present) from "
+          f"{len(shards)} shards into {args.data_root}/{{train,test}}")
+
+
 def cmd_check_frames(args):
     bad = []
     for clip in sorted(os.listdir(args.frames_root)):
@@ -454,6 +521,15 @@ def main(argv=None):
                    help="records with 'image' and 'label' fields")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_food101_split)
+
+    s = sub.add_parser("vggsound-split")
+    s.add_argument("--data-root", required=True,
+                   help="dir holding vggsound_NN.tar[.gz] shards")
+    s.add_argument("--csv-file", required=True,
+                   help="vggsound.csv (clip, start, class, split)")
+    s.add_argument("--cleanup", action="store_true",
+                   help="remove decompressed .tar after routing")
+    s.set_defaults(fn=cmd_vggsound_split)
 
     s = sub.add_parser("check-frames")
     s.add_argument("--frames-root", required=True)

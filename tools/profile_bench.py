@@ -26,45 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def capture(out_dir: str, steps: int, s2d: bool = False,
             pool: str = "xla") -> None:
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from types import SimpleNamespace
 
     from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
-    from multimodal_clinical_tpu.benchmarks.vggsound import device_preprocess
-    from multimodal_clinical_tpu.engine.spec import ModelSpec
-    from multimodal_clinical_tpu.engine.state import create_train_state
-    from multimodal_clinical_tpu.engine.steps import make_train_step
-    from multimodal_clinical_tpu.models.zoo import CremadFusionNet
-
-    batch, num_classes = 224, 309
-    rng = np.random.default_rng(0)
-    wave = rng.normal(scale=0.1, size=(batch, 80000)).astype(np.float32)
-    frames = rng.normal(size=(batch, 4, 224, 224, 3)).astype(np.float32)
-    label = rng.integers(0, num_classes, size=batch).astype(np.int32)
-    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
-                           learning_rate=1e-2, num_epochs=60,
-                           use_scheduler=False, seed=0)
-    spec = ModelSpec(
-        module=CremadFusionNet(num_classes=num_classes, dtype=jnp.bfloat16,
-                               stem_space_to_depth=s2d, pool_kernel=pool),
-        contract="jprobas", device_preprocess=device_preprocess,
+    # the production bench program (shared fixture), s2d/pool knobs applied
+    from multimodal_clinical_tpu.benchmarks.vggsound_fixture import (
+        build_vggsound_bench,
     )
-    spec_sample = rng.normal(size=(2, 129, 626, 1)).astype(np.float32)
-    state = create_train_state(
-        spec, args, jax.random.PRNGKey(0),
-        [jnp.asarray(spec_sample), jnp.asarray(frames[:2])],
-        steps_per_epoch=100)
-    batch_dict = {
-        "x1_waveform": jax.device_put(wave),
-        "x2": jax.device_put(frames),
-        "label": jax.device_put(label),
-        "idx": jax.device_put(np.arange(batch, dtype=np.int32)),
-        "valid": jax.device_put(np.ones(batch, np.float32)),
-    }
-    train_step = make_train_step(spec)
+
+    train_step, state, batch_dict, _spec = build_vggsound_bench(
+        stem_space_to_depth=s2d, pool_kernel=pool)
     for _ in range(3):
         state, metrics = train_step(state, batch_dict)
     float(metrics["train_loss"])  # barrier (tunnel-safe)
