@@ -34,6 +34,27 @@ from .state import TrainState
 from .steps import make_eval_step, make_train_step
 
 
+class _FixedBatches:
+    """Fixed set of already-placed device batches standing in for a Loader.
+
+    Backs the ``overfit_batches`` sanity mode (reference
+    utils/run_trainer.py:6,54 — Lightning's overfit knob, "use 1.0 to check
+    if model is working"): train AND validate on the same first-k train
+    batches, so a working model drives train/val accuracy to ~1.0."""
+
+    def __init__(self, batches) -> None:
+        self.batches = list(batches)
+
+    def set_epoch(self, epoch: int) -> None:  # same subset every epoch
+        pass
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
 class Trainer:
     def __init__(
         self,
@@ -79,6 +100,9 @@ class Trainer:
             self.scan_train_step = make_scan_train_step(
                 spec, self.steps_per_dispatch)
         self.log_every = int(getattr(args, "log_every_n_steps", 30) or 0)
+        # Lightning semantics (run_trainer.py:54): float in (0, 1] = that
+        # fraction of the train batches, int >= 1 = that many batches
+        self.overfit_batches = getattr(args, "overfit_batches", 0) or 0
         self.profile_dir = profile_dir
         self.history: List[Dict[str, float]] = []
 
@@ -108,8 +132,30 @@ class Trainer:
               f"(best={self.ckpt.best_metric:.4f})")
         return True
 
+    def _enter_overfit_mode(self) -> None:
+        """Pin the first-k train batches as both train and val loaders."""
+        n_batches = max(len(self.train_loader), 1)
+        raw = self.overfit_batches
+        if isinstance(raw, float) and raw <= 1.0:
+            k = max(1, round(raw * n_batches))
+        else:
+            k = max(1, int(raw))
+        self.train_loader.set_epoch(0)
+        batches = []
+        for batch in self.train_loader:
+            batches.append(batch)
+            if len(batches) >= k:
+                break
+        fixed = _FixedBatches(batches)
+        self.train_loader = fixed
+        self.val_loader = fixed
+        print(f"[trainer] overfit_batches={raw}: training AND validating on "
+              f"the same {len(batches)} fixed train batch(es)")
+
     def fit(self) -> Dict[str, float]:
         num_epochs = int(getattr(self.args, "num_epochs", 1))
+        if self.overfit_batches:
+            self._enter_overfit_mode()
         steps_per_epoch = max(len(self.train_loader), 1)
         # Resume epoch: prefer the recorded epochs_done (exact even when
         # batch size / dataset size changed between runs); fall back to

@@ -319,3 +319,30 @@ def test_resume_ignores_meta_ahead_of_checkpoint(tmp_path):
     trainer2.fit()
     # epoch 1 must RUN (meta said both done, but state only has epoch 0)
     assert int(trainer2.state.step) == step_restored + steps_per_epoch
+
+
+def test_overfit_batches_pins_subset_and_converges(tmp_path):
+    """Reference sanity mode (utils/run_trainer.py:6,54): overfit_batches
+    trains AND validates on the same fixed first-k train batches, and a
+    working model drives accuracy on that subset toward 1.0."""
+    args = make_args(model_type="jlogits", ckpt_dir=str(tmp_path),
+                     batch_size=8, num_epochs=8, learning_rate=0.1,
+                     overfit_batches=1)
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    assert len(trainer.train_loader) == 1
+    assert trainer.val_loader is trainer.train_loader
+    accs = [h["train_epoch/train_avg_acc"] for h in trainer.history]
+    assert accs[-1] > 0.9, f"failed to overfit one batch: {accs}"
+    # val ran on the identical pinned batch
+    assert "val_epoch/val_avg_acc" in trainer.history[-1]
+
+
+def test_overfit_batches_fraction_selects_count(tmp_path):
+    """Lightning float semantics: a fraction in (0, 1] of the train batches."""
+    args = make_args(model_type="jlogits", ckpt_dir=str(tmp_path),
+                     batch_size=8, num_epochs=1, overfit_batches=0.5)
+    trainer, data = build_trainer(avmnist, args)
+    n_batches = len(trainer.train_loader)
+    trainer.fit()
+    assert len(trainer.train_loader) == max(1, round(0.5 * n_batches))
