@@ -31,6 +31,10 @@ class TrainState(struct.PyTreeNode):
 
     qmf_correctness: Optional[jnp.ndarray] = None   # (M, n_train) or None
     qmf_confidence: Optional[jnp.ndarray] = None
+    # static copy of the LR schedule so the trainer can report the current
+    # LR (the reference's LearningRateMonitor stream, utils/run_trainer.py:20)
+    lr_schedule: Optional[Callable] = struct.field(
+        pytree_node=False, default=None)
 
 
 def make_lr_schedule(base_lr: float, use_scheduler: bool, steps_per_epoch: int,
@@ -135,6 +139,7 @@ def create_train_state(
         rng=state_rng,
         qmf_correctness=qmf_corr,
         qmf_confidence=qmf_conf,
+        lr_schedule=schedule,
         apply_fn=spec.module.apply,
         tx=tx,
     )

@@ -235,6 +235,11 @@ class Trainer:
             wall = time.perf_counter() - tic
             epoch_summary["train_epoch/samples_per_sec"] = samples / max(wall, 1e-9)
             epoch_summary["train_epoch/epoch_time_sec"] = wall
+            # LearningRateMonitor parity (utils/run_trainer.py:20): report
+            # the LR in effect after this epoch under Lightning's key
+            if self.state.lr_schedule is not None:
+                epoch_summary["lr-SGD"] = float(
+                    self.state.lr_schedule(global_step))
 
             val_summary = self._run_eval(self.val_loader, "val")
             last_val = val_summary

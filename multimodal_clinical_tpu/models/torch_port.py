@@ -253,6 +253,49 @@ def port_torch_linear(weight, bias=None) -> dict:
     return {"Dense_0": out}
 
 
+def port_lstm_cell(state_dict, prefix: str = "lstm.") -> dict:
+    """torch nn.LSTM (1 layer) -> flax OptimizedLSTMCell params.
+
+    torch packs weight_ih_l0 as [W_ii; W_if; W_ig; W_io] (4H, F) — the
+    same i/f/g/o gate order flax uses.  flax's input Denses carry no
+    bias, so both torch bias vectors fold into the h-side biases:
+    ``h<g> bias <- b_i<g> + b_h<g>``.  Backs the MUsTARD LstmClassifier
+    recurrence (mustard/joint_model.py:18,33-36)."""
+    sd = _to_np(state_dict)
+    w_ih = sd[prefix + "weight_ih_l0"]
+    w_hh = sd[prefix + "weight_hh_l0"]
+    b_ih = sd.get(prefix + "bias_ih_l0")
+    b_hh = sd.get(prefix + "bias_hh_l0")
+    h = w_hh.shape[1]
+    wi = np.split(w_ih, 4, axis=0)
+    wh = np.split(w_hh, 4, axis=0)
+    bi = np.split(b_ih, 4) if b_ih is not None else (np.zeros(h),) * 4
+    bh = np.split(b_hh, 4) if b_hh is not None else (np.zeros(h),) * 4
+    out = {}
+    for k, g in enumerate("ifgo"):
+        out[f"i{g}"] = {"kernel": wi[k].T}
+        out[f"h{g}"] = {"kernel": wh[k].T, "bias": bi[k] + bh[k]}
+    return out
+
+
+def port_lstm_classifier(state_dict, prefix: str = "") -> dict:
+    """Reference LstmClassifier (mustard/joint_model.py:9-43) -> our
+    models.rnn.LstmClassifier params (fc1/lstm/fc2/fc3 ->
+    TorchDense_0/OptimizedLSTMCell_0/TorchDense_1/TorchDense_2)."""
+    sd = _to_np(state_dict)
+
+    def lin(name):
+        return port_torch_linear(sd[prefix + name + ".weight"],
+                                 sd.get(prefix + name + ".bias"))
+
+    return {
+        "TorchDense_0": lin("fc1"),
+        "OptimizedLSTMCell_0": port_lstm_cell(sd, prefix=prefix + "lstm."),
+        "TorchDense_1": lin("fc2"),
+        "TorchDense_2": lin("fc3"),
+    }
+
+
 def port_gru_cell(state_dict, prefix: str = "gru.") -> dict:
     """torch nn.GRU (1 layer) -> flax GRUCell params.
 

@@ -346,3 +346,27 @@ def test_overfit_batches_fraction_selects_count(tmp_path):
     n_batches = len(trainer.train_loader)
     trainer.fit()
     assert len(trainer.train_loader) == max(1, round(0.5 * n_batches))
+
+
+def test_lr_sgd_stream_reports_steplr_decay(tmp_path):
+    """LearningRateMonitor parity (utils/run_trainer.py:20): every train
+    epoch reports the in-effect LR under Lightning's ``lr-SGD`` key, and a
+    StepLR boundary shows up as a gamma decay in the stream."""
+    import dataclasses
+
+    from multimodal_clinical_tpu.benchmarks import avmnist as bm
+
+    args = make_args(model_type="jlogits", ckpt_dir=str(tmp_path),
+                     batch_size=8, num_epochs=2, use_scheduler=True,
+                     learning_rate=0.05)
+    mesh = make_mesh()
+    data = bm.get_data(args)
+    spec, opt_kwargs = bm.get_model_spec(args, n_train=len(data.train))
+    spec = dataclasses.replace(spec, sched_step_size=1, sched_gamma=0.1)
+    loaders = build_loaders(args, data, mesh)
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    trainer = Trainer(args, spec, state, *loaders)
+    trainer.fit()
+    lrs = [h["lr-SGD"] for h in trainer.history]
+    assert lrs[0] == np.float32(0.05) * 0.1  # after epoch 0's boundary
+    assert np.isclose(lrs[1], 0.05 * 0.01)

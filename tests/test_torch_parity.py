@@ -153,3 +153,46 @@ def test_lenet_matches_reference():
     got = LeNet(6, 3).apply({"params": params, "batch_stats": stats},
                             jnp.asarray(to_nhwc(x)), train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+
+def test_lstm_cell_matches_torch_lstm():
+    tm = torch.nn.LSTM(16, 24, 1, batch_first=True).eval()
+    x = np.random.default_rng(6).normal(size=(2, 40, 16)).astype(np.float32)
+    with torch.no_grad():
+        _, (h, _) = tm(torch.tensor(x))
+    want = h[-1].numpy()
+
+    from flax import linen as nn
+
+    cell_params = torch_port.port_lstm_cell(tm.state_dict(), prefix="")
+    rnn = nn.RNN(nn.OptimizedLSTMCell(features=24))
+    got = rnn.apply({"params": {"cell": cell_params}}, jnp.asarray(x))[:, -1]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+@needs_reference
+def test_lstm_classifier_matches_reference():
+    """Full MUsTARD LstmClassifier (mustard/joint_model.py:9-43):
+    fc1 -> LSTM -> last hidden -> fc2 -> relu -> fc3."""
+    sys.path.insert(0, os.path.join(REFERENCE, "mustard"))
+    import types
+
+    for name in ("pytorch_lightning", "torchvision", "torchvision.models"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["pytorch_lightning"].LightningModule = object
+    try:
+        from joint_model import LstmClassifier as RefLstm  # type: ignore
+    finally:
+        sys.path.pop(0)
+    tm = RefLstm(81, 2).eval()
+    x = np.random.default_rng(7).normal(size=(3, 40, 81)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.tensor(x)).numpy()
+
+    from multimodal_clinical_tpu.models.rnn import LstmClassifier
+
+    params = torch_port.port_lstm_classifier(tm.state_dict())
+    got = LstmClassifier(num_classes=2).apply({"params": params},
+                                              jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)

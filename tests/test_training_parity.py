@@ -599,3 +599,155 @@ def test_ensemble_trajectory_with_ported_init(tmp_path):
     for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
         assert abs(t_loss - o_loss) < 2e-2, (torch_epoch_losses,
                                              ours_epoch_losses)
+
+
+def test_qmf_trajectory_with_ported_init(tmp_path):
+    """QMF trajectory parity vs an independent torch implementation of the
+    INTENDED QMF semantics (the reference's existing_algos/QMF.py body is
+    broken — README 'divergences'): energy-confidence dynamic fusion
+    (QMF.py:109-117), per-sample History EMA of the batch-mean unimodal CE
+    (cremad/joint_model_qmf.py:62-65), and the per-modality margin-ranking
+    regularizer.  Same ported init, same sequential data order,
+    SGD(momentum=0.9, wd=1e-4) — per-epoch losses AND the final history
+    tables must agree."""
+    num_classes, batch, epochs, lr = 10, 32, 2, 0.05
+    n_train = 256
+    train, _ = _make_data(n_train=n_train, num_classes=num_classes)
+
+    ref_joint = _load_reference_lenet()
+    torch.manual_seed(13)
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.x1_model = ref_joint.LeNet(1, 6, 3)
+            self.x2_model = ref_joint.LeNet(1, 6, 3)
+            self.classifier_x1 = torch.nn.Linear(48, num_classes)
+            self.classifier_x2 = torch.nn.Linear(48, num_classes)
+
+        def forward(self, x1, x2):
+            l1 = self.classifier_x1(torch.relu(self.x1_model(x1)))
+            l2 = self.classifier_x2(torch.relu(self.x2_model(x2)))
+            return l1, l2
+
+    def t_normalize(table, values):
+        t_min, t_max = table.min(), table.max()
+        return (values - t_min) / (t_max - t_min + 1e-12)
+
+    net = RefNet()
+    opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+    corr_tab = torch.zeros(2, n_train)
+    conf_tab = torch.zeros(2, n_train)
+    ce = torch.nn.CrossEntropyLoss()
+    tx1 = torch.tensor(train.modalities[0].transpose(0, 3, 1, 2))
+    tx2 = torch.tensor(train.modalities[1].transpose(0, 3, 1, 2))
+    ty = torch.tensor(train.labels.astype(np.int64))
+    net.train()
+    torch_epoch_losses = []
+    for _ in range(epochs):
+        losses = []
+        for start in range(0, len(ty), batch):
+            sl = slice(start, start + batch)
+            idx = torch.arange(start, start + batch)
+            opt.zero_grad()
+            l1, l2 = net(tx1[sl], tx2[sl])
+            logits = [l1, l2]
+            confs = [torch.logsumexp(l, dim=1) / 10.0 for l in logits]
+            fused = sum(l * c.detach().unsqueeze(1)
+                        for l, c in zip(logits, confs))
+            loss_joint = ce(fused, ty[sl])
+            loss_uni = [ce(l, ty[sl]) for l in logits]
+            # history EMA: batch-mean unimodal CE broadcast to the batch rows
+            with torch.no_grad():
+                for m in range(2):
+                    corr_tab[m, idx] = (0.9 * corr_tab[m, idx]
+                                        + 0.1 * loss_uni[m].detach())
+                    conf_tab[m, idx] = confs[m].detach()
+            partner = torch.roll(torch.arange(batch), -1)
+            reg = 0.0
+            for m in range(2):
+                with torch.no_grad():
+                    t1 = t_normalize(corr_tab[m], corr_tab[m][idx])
+                    t2 = t_normalize(corr_tab[m], corr_tab[m][idx[partner]])
+                    tgt = torch.sign(t1 - t2)
+                    mgn = torch.abs(t1 - t2)
+                tgt_nonzero = torch.where(tgt == 0, torch.ones_like(tgt), tgt)
+                input2 = confs[m][partner] + mgn / tgt_nonzero
+                reg = reg + torch.relu(tgt * (confs[m] - input2)).mean()
+            loss = loss_joint + sum(loss_uni) + reg
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        torch_epoch_losses.append(float(np.mean(losses)))
+
+    # ---- our engine, initialized from the SAME torch weights ----
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.engine.metrics import EpochAccumulator
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models import torch_port
+    from flax import linen as nn
+
+    class SmallAVNet(nn.Module):
+        num_classes: int
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            from multimodal_clinical_tpu.models.common import TorchDense
+            from multimodal_clinical_tpu.models.lenet import LeNet
+
+            h1 = nn.relu(LeNet(6, 3, name="x1_model")(x1, train))
+            h2 = nn.relu(LeNet(6, 3, name="x2_model")(x2, train))
+            l1 = TorchDense(self.num_classes, name="classifier_x1")(h1)
+            l2 = TorchDense(self.num_classes, name="classifier_x2")(h2)
+            return {"logits": [l1, l2]}
+
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=lr, num_epochs=epochs,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(module=SmallAVNet(num_classes=num_classes),
+                     contract="qmf", n_train_samples=n_train)
+    sample = [jnp.asarray(train.modalities[0][:2]),
+              jnp.asarray(train.modalities[1][:2])]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=8, momentum=0.9,
+                               weight_decay=1e-4)
+
+    torch.manual_seed(13)
+    fresh = RefNet()
+    sd = fresh.state_dict()
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for tower in ("x1_model", "x2_model"):
+        p, st = torch_port.port_lenet(sd, num_blocks=4, prefix=f"{tower}.")
+        params[tower] = p
+        stats[tower] = st
+    for head in ("classifier_x1", "classifier_x2"):
+        params[head] = torch_port.port_torch_linear(
+            sd[f"{head}.weight"], sd[f"{head}.bias"])
+    state = state.replace(params=params, batch_stats=stats)
+
+    loader = Loader(train, batch, SequentialSampler(len(train)))
+    step = make_train_step(spec)
+    ours_epoch_losses = []
+    for _ in range(epochs):
+        acc = EpochAccumulator()
+        for b in loader:
+            state, metrics = step(state, b)
+            acc.append(metrics)
+        ours_epoch_losses.append(acc.summary()["train_loss"])
+
+    for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
+        assert abs(t_loss - o_loss) < 5e-3, (torch_epoch_losses,
+                                             ours_epoch_losses)
+    # final history tables must match the torch-side tables
+    np.testing.assert_allclose(np.asarray(state.qmf_correctness),
+                               corr_tab.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(state.qmf_confidence),
+                               conf_tab.numpy(), rtol=2e-3, atol=2e-3)
