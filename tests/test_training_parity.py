@@ -751,3 +751,106 @@ def test_qmf_trajectory_with_ported_init(tmp_path):
                                corr_tab.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state.qmf_confidence),
                                conf_tab.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
+    """3-modality jlogits trajectory parity: the reference's own MUsTARD
+    LstmClassifier towers (mustard/joint_model.py:9-43, imported read-only)
+    trained with logit-mean fusion (joint_model.py:59-83) vs our
+    MustardFusionNet under the jlogits contract, from the same ported init
+    and data order.  Pins the x3 engine path + the LSTM recurrence."""
+    num_classes, batch, epochs, lr = 2, 16, 2, 0.05
+    n_train, seq = 128, 10
+    from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+
+    shapes = [(seq, 371), (seq, 81), (seq, 300)]
+    train = make_synthetic_dataset("mustard", n_train, num_classes, seed=3,
+                                   dirs_seed=3, shapes=shapes)
+
+    sys.path.insert(0, os.path.join(REFERENCE, "mustard"))
+    for name in ("pytorch_lightning", "torchvision", "torchvision.models"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["pytorch_lightning"].LightningModule = object
+    try:
+        from joint_model import LstmClassifier as RefLstm  # type: ignore
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(17)
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.x1_model = RefLstm(371, num_classes)
+            self.x2_model = RefLstm(81, num_classes)
+            self.x3_model = RefLstm(300, num_classes)
+            self.loss_fn = torch.nn.CrossEntropyLoss()
+
+        def forward(self, x1, x2, x3, label):
+            l1, l2, l3 = self.x1_model(x1), self.x2_model(x2), self.x3_model(x3)
+            avg = (l1 + l2 + l3) / 3
+            return avg, self.loss_fn(avg, label)
+
+    net = RefNet()
+    opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+    tx = [torch.tensor(m) for m in train.modalities]
+    ty = torch.tensor(train.labels.astype(np.int64))
+    net.train()
+    torch_epoch_losses = []
+    for _ in range(epochs):
+        losses = []
+        for start in range(0, len(ty), batch):
+            sl = slice(start, start + batch)
+            opt.zero_grad()
+            _, loss = net(tx[0][sl], tx[1][sl], tx[2][sl], ty[sl])
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        torch_epoch_losses.append(float(np.mean(losses)))
+
+    # ---- our engine from the SAME ported weights ----
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.engine.metrics import EpochAccumulator
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models import torch_port
+    from multimodal_clinical_tpu.models.zoo import MustardFusionNet
+
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=lr, num_epochs=epochs,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(module=MustardFusionNet(num_classes=num_classes),
+                     num_modality=3)
+    sample = [jnp.asarray(m[:2]) for m in train.modalities]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=8, momentum=0.9,
+                               weight_decay=1e-4)
+
+    torch.manual_seed(17)
+    sd = RefNet().state_dict()
+    params = dict(state.params)
+    for tower in ("x1_model", "x2_model", "x3_model"):
+        params[tower] = torch_port.port_lstm_classifier(
+            sd, prefix=f"{tower}.")
+    state = state.replace(params=params)
+
+    loader = Loader(train, batch, SequentialSampler(len(train)))
+    step = make_train_step(spec)
+    ours_epoch_losses = []
+    for _ in range(epochs):
+        acc = EpochAccumulator()
+        for b in loader:
+            state, metrics = step(state, b)
+            acc.append(metrics)
+        ours_epoch_losses.append(acc.summary()["train_loss"])
+
+    for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
+        assert abs(t_loss - o_loss) < 5e-3, (torch_epoch_losses,
+                                             ours_epoch_losses)
