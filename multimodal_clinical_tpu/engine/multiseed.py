@@ -38,9 +38,11 @@ def create_multiseed_state(spec: ModelSpec, args, sample_inputs,
                            sample_inputs, steps_per_epoch, **(opt_kwargs or {}))
         for s in seeds
     ]
-    # static fields (apply_fn bound method, optax closures) are fresh objects
-    # per state; unify them so the pytrees share one treedef for stacking
-    states = [s.replace(apply_fn=states[0].apply_fn, tx=states[0].tx)
+    # static fields (apply_fn bound method, optax/schedule closures) are
+    # fresh objects per state; unify them so the pytrees share one treedef
+    # for stacking
+    states = [s.replace(apply_fn=states[0].apply_fn, tx=states[0].tx,
+                        lr_schedule=states[0].lr_schedule)
               for s in states]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -126,6 +128,14 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
     from ..data.sampler import SequentialSampler
     from .metrics import EpochAccumulator
     from .run import DataBundle, _make_sampler
+
+    if getattr(args, "overfit_batches", 0):
+        # the vmapped sweep trains per-seed data orders in one program;
+        # pinning "the first k batches" is seed-ambiguous here.  Refuse
+        # loudly rather than silently training on the full dataset.
+        raise NotImplementedError(
+            "overfit_batches is a single-run sanity mode "
+            "(utils/run_trainer.py:54); run it without num_seeds>1")
 
     data: DataBundle = benchmark_module.get_data(args)
     spec, opt_kwargs = benchmark_module.get_model_spec(

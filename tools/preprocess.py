@@ -421,12 +421,18 @@ def cmd_vggsound_split(args):
         if shard.endswith(".gz"):
             tar_path = path[:-3]
             if not os.path.exists(tar_path):
+                # decompress via a temp name + rename so an interrupted
+                # run can't leave a truncated .tar that later runs trust
+                tmp_tar = tar_path + ".tmp"
                 if shutil.which("pigz"):
-                    subprocess.run(["pigz", "-d", "-k", path], check=True)
+                    with open(tmp_tar, "wb") as dst:
+                        subprocess.run(["pigz", "-d", "-c", path],
+                                       check=True, stdout=dst)
                 else:
                     with gzip.open(path, "rb") as src, \
-                            open(tar_path, "wb") as dst:
+                            open(tmp_tar, "wb") as dst:
                         shutil.copyfileobj(src, dst, 1 << 20)
+                os.replace(tmp_tar, tar_path)
         else:
             tar_path = path
         with tarfile.open(tar_path, "r") as tar:
@@ -441,9 +447,13 @@ def cmd_vggsound_split(args):
                 if os.path.exists(dst):
                     skipped += 1
                     continue
+                # temp name + atomic rename: a clip interrupted mid-copy
+                # must not satisfy the idempotency check on the next run
                 src = tar.extractfile(member)
-                with open(dst, "wb") as out:
+                tmp = dst + ".tmp"
+                with open(tmp, "wb") as out:
                     shutil.copyfileobj(src, out, 1 << 20)
+                os.replace(tmp, dst)
                 routed += 1
         if args.cleanup and tar_path != path:
             os.remove(tar_path)
