@@ -235,3 +235,69 @@ def test_fsdp_e2e_with_checkpointing(tmp_path):
     ])
     summary = run_benchmark(args, get_benchmark("mimic"))
     assert summary["test_epoch/test_avg_acc"] > 0.5  # synthetic twin learns
+
+
+def test_dp_qmf_history_matches_single_device():
+    """QMF under data parallelism: the (M, n_train) history tables are
+    replicated while ``idx`` is batch-sharded — the scatter update and the
+    history-dependent reg_loss must reproduce single-device math exactly,
+    including a padded tail batch (pad rows scatter to out-of-bounds and
+    are dropped)."""
+    from types import SimpleNamespace
+
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    n_train, batch = 32, 16
+    args = SimpleNamespace(num_classes=4, batch_size=batch, learning_rate=0.1,
+                           num_epochs=1, use_scheduler=False, seed=0)
+    spec = ModelSpec(module=MimicFusionNet(num_classes=4), contract="qmf",
+                     n_train_samples=n_train)
+    rng = np.random.default_rng(1)
+    steps_np = []
+    for s, valid_n in ((0, batch), (1, batch - 3)):  # full + padded tail
+        x1 = rng.normal(size=(batch, 5)).astype(np.float32)
+        x2 = rng.normal(size=(batch, 24, 12)).astype(np.float32)
+        label = rng.integers(0, 4, batch).astype(np.int32)
+        idx = np.arange(s * batch, s * batch + batch, dtype=np.int32)
+        valid = np.zeros(batch, np.float32)
+        valid[:valid_n] = 1.0
+        idx[valid_n:] = idx[valid_n - 1]  # loader pads by repeating last idx
+        steps_np.append({"x1": x1, "x2": x2, "label": label,
+                         "idx": idx, "valid": valid})
+
+    def run(mesh):
+        state = create_train_state(
+            spec, args, jax.random.PRNGKey(0),
+            [jnp.asarray(steps_np[0]["x1"][:2]),
+             jnp.asarray(steps_np[0]["x2"][:2])],
+            steps_per_epoch=2)
+        step = make_train_step(spec)
+        out_metrics = []
+        for batch_np in steps_np:
+            if mesh is not None:
+                rep = replicated(mesh)
+                state = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep)
+                    if hasattr(x, "shape") else x, state)
+                bs = batch_sharding(mesh)
+                b = {k: jax.device_put(v, bs) for k, v in batch_np.items()}
+            else:
+                b = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            state, metrics = step(state, b)
+            out_metrics.append({k: float(v) for k, v in metrics.items()})
+        return (out_metrics, np.asarray(state.qmf_correctness),
+                np.asarray(state.qmf_confidence))
+
+    m_single, corr_single, conf_single = run(None)
+    m_dp, corr_dp, conf_dp = run(make_mesh())
+    for ms, md in zip(m_single, m_dp):
+        for k in ms:
+            assert abs(ms[k] - md[k]) < 1e-4, (k, ms[k], md[k])
+    np.testing.assert_allclose(corr_dp, corr_single, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(conf_dp, conf_single, rtol=1e-5, atol=1e-6)
+    # padded rows never touched the tables: indices past the last real
+    # sample of step 2 stayed at init
+    assert np.all(corr_single[:, batch + (batch - 3):] == 0.0)
