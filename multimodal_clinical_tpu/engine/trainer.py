@@ -213,12 +213,13 @@ class Trainer:
                 # strides of K, so `% log_every == 0` would only fire every
                 # lcm(K, log_every) steps
                 if self.log_every and global_step % self.log_every < advanced:
-                    self.logger.log(
-                        {step_metric_name("train", k):
-                         float(np.mean(np.asarray(v)))
-                         for k, v in metrics.items() if k != "valid_count"},
-                        step=global_step,
-                    )
+                    row = {step_metric_name("train", k):
+                           float(np.mean(np.asarray(v)))
+                           for k, v in metrics.items() if k != "valid_count"}
+                    if self.state.lr_schedule is not None:
+                        # LearningRateMonitor logs per step (run_trainer.py:20)
+                        row["lr-SGD"] = float(self.state.lr_schedule(global_step))
+                    self.logger.log(row, step=global_step)
             for batch in pending:  # tail shorter than K: single steps
                 self.state, metrics = self.train_step(self.state, batch)
                 acc.append(metrics)

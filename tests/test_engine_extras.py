@@ -370,3 +370,20 @@ def test_lr_sgd_stream_reports_steplr_decay(tmp_path):
     lrs = [h["lr-SGD"] for h in trainer.history]
     assert lrs[0] == np.float32(0.05) * 0.1  # after epoch 0's boundary
     assert np.isclose(lrs[1], 0.05 * 0.01)
+
+
+def test_lr_sgd_in_per_step_stream(tmp_path):
+    """The per-step metric rows carry lr-SGD too (LearningRateMonitor logs
+    at step granularity)."""
+    import json
+
+    args = make_args(model_type="jlogits", ckpt_dir=str(tmp_path),
+                     batch_size=8, num_epochs=1, log_every_n_steps=2,
+                     use_scheduler=True, learning_rate=0.05)
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    rows = [json.loads(line)
+            for line in open(os.path.join(trainer.run_dir, "metrics.jsonl"))]
+    step_rows = [r for r in rows if "train_step/train_loss" in r]
+    assert step_rows and all(r.get("lr-SGD") == np.float32(0.05)
+                             for r in step_rows)
