@@ -88,6 +88,9 @@ class BestCheckpointer:
         self.epochs_done: Optional[int] = None
         self.steps_per_epoch: Optional[int] = None
         self.meta_step: Optional[int] = None
+        # batches already consumed within epoch `epochs_done` at save time
+        # (0 for epoch-boundary saves) — enables mid-epoch exact resume
+        self.steps_into_epoch: int = 0
         self.keep_last = max(1, int(keep_last))
         os.makedirs(ckpt_dir, exist_ok=True)
         if backend == "auto":
@@ -204,6 +207,7 @@ class BestCheckpointer:
             json.dump({"best_metric": self.best_metric,
                        "epochs_done": self.epochs_done,
                        "steps_per_epoch": self.steps_per_epoch,
+                       "steps_into_epoch": self.steps_into_epoch,
                        "meta_step": self.meta_step}, f)
 
     def _read_meta(self) -> None:
@@ -216,6 +220,7 @@ class BestCheckpointer:
             self.best_metric = float(meta["best_metric"])
             self.epochs_done = meta.get("epochs_done")
             self.steps_per_epoch = meta.get("steps_per_epoch")
+            self.steps_into_epoch = int(meta.get("steps_into_epoch") or 0)
             self.meta_step = meta.get("meta_step")
             # meta is written before the async best-save commits: if the
             # save died, forget the phantom metric so maybe_save re-saves
@@ -251,14 +256,20 @@ class BestCheckpointer:
 
     def save_last(self, state: TrainState,
                   epochs_done: Optional[int] = None,
-                  steps_per_epoch: Optional[int] = None) -> str:
-        """Step-stamped rolling checkpoint; prunes beyond ``keep_last``."""
+                  steps_per_epoch: Optional[int] = None,
+                  steps_into_epoch: int = 0) -> str:
+        """Step-stamped rolling checkpoint; prunes beyond ``keep_last``.
+
+        ``steps_into_epoch`` > 0 marks a MID-epoch save: ``epochs_done``
+        epochs are complete plus that many batches of the next one (the
+        trainer's ``ckpt_every_n_steps`` path)."""
         step = int(jax.device_get(state.step))
         path = os.path.join(self.ckpt_dir, f"last-{step}")
         if epochs_done is not None:
             self.epochs_done = int(epochs_done)
             self.steps_per_epoch = (int(steps_per_epoch)
                                     if steps_per_epoch else None)
+            self.steps_into_epoch = int(steps_into_epoch)
             self.meta_step = step
             self._write_meta()
         self._save(path, state_to_tree(state))

@@ -100,6 +100,11 @@ class Trainer:
             self.scan_train_step = make_scan_train_step(
                 spec, self.steps_per_dispatch)
         self.log_every = int(getattr(args, "log_every_n_steps", 30) or 0)
+        # mid-epoch rolling checkpoints every N optimizer steps (0 = off):
+        # with exact resume this bounds lost work on long epochs (a
+        # VGGSound epoch is ~7:45 min on the reference) — the reference
+        # can only checkpoint at validation boundaries
+        self.ckpt_every = int(getattr(args, "ckpt_every_n_steps", 0) or 0)
         # Lightning semantics (run_trainer.py:54): float in (0, 1] = that
         # fraction of the train batches, int >= 1 = that many batches
         self.overfit_batches = getattr(args, "overfit_batches", 0) or 0
@@ -164,6 +169,7 @@ class Trainer:
         # the meta write and the async checkpoint commit).
         meta_consistent = (self.ckpt.meta_step is None
                            or self.ckpt.meta_step == int(self.state.step))
+        skip_batches = 0
         if self.ckpt.epochs_done is not None and meta_consistent:
             start_epoch = int(self.ckpt.epochs_done)
             if (self.ckpt.steps_per_epoch
@@ -172,6 +178,11 @@ class Trainer:
                       f"checkpoint ({self.ckpt.steps_per_epoch} -> "
                       f"{steps_per_epoch} steps/epoch); resuming at epoch "
                       f"{start_epoch} from the recorded epoch count")
+            else:
+                # mid-epoch save: the first resumed epoch replays its index
+                # stream and skips the batches the checkpoint already saw
+                # (deterministic per-(seed, epoch) sampling makes this exact)
+                skip_batches = int(self.ckpt.steps_into_epoch or 0)
         else:
             start_epoch = int(self.state.step) // steps_per_epoch
         global_step = int(self.state.step)
@@ -192,7 +203,17 @@ class Trainer:
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
             pending = []
-            for batch in self.train_loader:
+            into_epoch = 0
+            batch_iter = iter(self.train_loader)
+            if epoch == start_epoch and skip_batches:
+                print(f"[trainer] mid-epoch resume: skipping the first "
+                      f"{skip_batches} already-trained batch(es) of epoch "
+                      f"{epoch}")
+                for _ in range(skip_batches):
+                    if next(batch_iter, None) is None:
+                        break
+                into_epoch = skip_batches
+            for batch in batch_iter:
                 if self.steps_per_dispatch > 1:
                     pending.append(batch)
                     if len(pending) < self.steps_per_dispatch:
@@ -220,6 +241,13 @@ class Trainer:
                         # LearningRateMonitor logs per step (run_trainer.py:20)
                         row["lr-SGD"] = float(self.state.lr_schedule(global_step))
                     self.logger.log(row, step=global_step)
+                into_epoch += advanced
+                if (self.ckpt_every
+                        and global_step % self.ckpt_every < advanced):
+                    self.ckpt.save_last(
+                        self.state, epochs_done=epoch,
+                        steps_per_epoch=steps_per_epoch,
+                        steps_into_epoch=into_epoch)
             for batch in pending:  # tail shorter than K: single steps
                 self.state, metrics = self.train_step(self.state, batch)
                 acc.append(metrics)

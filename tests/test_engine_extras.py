@@ -387,3 +387,66 @@ def test_lr_sgd_in_per_step_stream(tmp_path):
     step_rows = [r for r in rows if "train_step/train_loss" in r]
     assert step_rows and all(r.get("lr-SGD") == np.float32(0.05)
                              for r in step_rows)
+
+
+class _CrashAfter:
+    """Loader wrapper that dies after yielding n batches (simulated crash)."""
+
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+
+    def set_epoch(self, epoch):
+        self.inner.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        for i, b in enumerate(self.inner):
+            if i == self.n:
+                raise RuntimeError("simulated crash")
+            yield b
+
+
+def test_mid_epoch_resume_is_exact(tmp_path):
+    """ckpt_every_n_steps + crash mid-epoch: resume skips the already-
+    trained batches of the interrupted epoch and the final parameters match
+    an uninterrupted run exactly (deterministic per-(seed, epoch) sampling
+    + full-state checkpoints)."""
+    def args_for(d):
+        return make_args(model_type="jlogits", ckpt_dir=d, batch_size=8,
+                         num_epochs=2, ckpt_every_n_steps=2)
+
+    # uninterrupted reference run
+    ref_dir = str(tmp_path / "ref")
+    trainer0, _ = build_trainer(avmnist, args_for(ref_dir))
+    trainer0.fit()
+
+    # crashed run: dies after 5 batches of epoch 0; last mid-epoch save at
+    # global step 4 (epochs_done=0, steps_into_epoch=4)
+    crash_dir = str(tmp_path / "crash")
+    trainer1, _ = build_trainer(avmnist, args_for(crash_dir))
+    trainer1.train_loader = _CrashAfter(trainer1.train_loader, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        trainer1.fit()
+
+    trainer2, _ = build_trainer(avmnist, args_for(crash_dir))
+    assert trainer2.resume()
+    assert int(trainer2.state.step) == 4
+    assert trainer2.ckpt.steps_into_epoch == 4
+    trainer2.fit()
+
+    assert int(trainer2.state.step) == int(trainer0.state.step)
+    import jax
+
+    ref_params = jax.tree_util.tree_leaves(trainer0.state.params)
+    res_params = jax.tree_util.tree_leaves(trainer2.state.params)
+    for a, b in zip(ref_params, res_params):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
+    # EMA calibration state also replayed exactly
+    np.testing.assert_allclose(np.asarray(trainer0.state.ema),
+                               np.asarray(trainer2.state.ema),
+                               rtol=0, atol=1e-7)
