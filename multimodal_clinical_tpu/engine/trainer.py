@@ -34,6 +34,16 @@ from .state import TrainState
 from .steps import make_eval_step, make_train_step
 
 
+class Preempted(SystemExit):
+    """Raised after a SIGTERM-triggered checkpoint: the state is safely on
+    disk and the process should exit (preemptible/spot TPU semantics —
+    ``--resume`` continues mid-epoch exactly)."""
+
+    def __init__(self, step: int) -> None:
+        super().__init__(143)  # conventional SIGTERM exit status
+        self.step = step
+
+
 class _FixedBatches:
     """Fixed set of already-placed device batches standing in for a Loader.
 
@@ -110,6 +120,9 @@ class Trainer:
         self.overfit_batches = getattr(args, "overfit_batches", 0) or 0
         self.profile_dir = profile_dir
         self.history: List[Dict[str, float]] = []
+        # preemption (SIGTERM) handling: flag checked at step boundaries;
+        # fit() saves a mid-epoch exact-resume checkpoint and exits
+        self._preempt_requested = False
 
     # ------------------------------------------------------------------
     def _run_eval(self, loader, prefix: str) -> Dict[str, float]:
@@ -157,7 +170,40 @@ class Trainer:
         print(f"[trainer] overfit_batches={raw}: training AND validating on "
               f"the same {len(batches)} fixed train batch(es)")
 
+    def _handle_preempt_signal(self, signum, frame) -> None:
+        print("[trainer] SIGTERM: will checkpoint at the next step boundary "
+              "and exit (resume with --resume)")
+        self._preempt_requested = True
+
+    def _preempt_exit(self, epoch: int, steps_per_epoch: int,
+                      into_epoch: int) -> None:
+        self.ckpt.save_last(self.state, epochs_done=epoch,
+                            steps_per_epoch=steps_per_epoch,
+                            steps_into_epoch=into_epoch)
+        self.ckpt.wait()  # the async commit must land before we exit
+        step = int(self.state.step)
+        print(f"[trainer] preempted: exact-resume checkpoint saved at step "
+              f"{step} (epoch {epoch} + {into_epoch} batches)")
+        raise Preempted(step)
+
     def fit(self) -> Dict[str, float]:
+        import signal
+        import threading
+
+        # preemption-aware training: SIGTERM checkpoints then exits.  Only
+        # the main thread may install handlers; elsewhere (e.g. a test
+        # runner thread) training simply runs without the hook.
+        installed = None
+        if threading.current_thread() is threading.main_thread():
+            installed = signal.signal(signal.SIGTERM,
+                                      self._handle_preempt_signal)
+        try:
+            return self._fit_inner()
+        finally:
+            if installed is not None:
+                signal.signal(signal.SIGTERM, installed)
+
+    def _fit_inner(self) -> Dict[str, float]:
         num_epochs = int(getattr(self.args, "num_epochs", 1))
         if self.overfit_batches:
             self._enter_overfit_mode()
@@ -242,6 +288,8 @@ class Trainer:
                         row["lr-SGD"] = float(self.state.lr_schedule(global_step))
                     self.logger.log(row, step=global_step)
                 into_epoch += advanced
+                if self._preempt_requested:
+                    self._preempt_exit(epoch, steps_per_epoch, into_epoch)
                 if (self.ckpt_every
                         and global_step % self.ckpt_every < advanced):
                     self.ckpt.save_last(
@@ -253,6 +301,9 @@ class Trainer:
                 acc.append(metrics)
                 samples += batch["label"].shape[0]
                 global_step += 1
+                into_epoch += 1
+                if self._preempt_requested:
+                    self._preempt_exit(epoch, steps_per_epoch, into_epoch)
             if profiling:
                 # host scalar fetch of the last step's output — the real
                 # device barrier here; block_until_ready does NOT

@@ -450,3 +450,66 @@ def test_mid_epoch_resume_is_exact(tmp_path):
     np.testing.assert_allclose(np.asarray(trainer0.state.ema),
                                np.asarray(trainer2.state.ema),
                                rtol=0, atol=1e-7)
+
+
+class _SigtermAfter:
+    """Loader wrapper that SIGTERMs our own process after n batches."""
+
+    def __init__(self, inner, n):
+        self.inner, self.n = inner, n
+
+    def set_epoch(self, epoch):
+        self.inner.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __iter__(self):
+        import signal
+
+        for i, b in enumerate(self.inner):
+            if i == self.n:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """Preemption semantics: SIGTERM mid-training saves a mid-epoch
+    exact-resume checkpoint and raises Preempted(143); a --resume run
+    continues from that exact point and ends identical to an
+    uninterrupted run."""
+    from multimodal_clinical_tpu.engine.trainer import Preempted
+
+    def args_for(d):
+        return make_args(model_type="jlogits", ckpt_dir=d, batch_size=8,
+                         num_epochs=2)
+
+    ref_dir = str(tmp_path / "ref")
+    trainer0, _ = build_trainer(avmnist, args_for(ref_dir))
+    trainer0.fit()
+
+    pre_dir = str(tmp_path / "pre")
+    trainer1, _ = build_trainer(avmnist, args_for(pre_dir))
+    trainer1.train_loader = _SigtermAfter(trainer1.train_loader, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(Preempted) as exc:
+        trainer1.fit()
+    assert exc.value.code == 143
+    # the signal fired while batch 5 was being produced; the checkpoint
+    # landed at the first step boundary after it (6 batches into epoch 0)
+    assert exc.value.step == 6
+
+    trainer2, _ = build_trainer(avmnist, args_for(pre_dir))
+    assert trainer2.resume()
+    assert int(trainer2.state.step) == 6
+    assert trainer2.ckpt.steps_into_epoch == 6
+    trainer2.fit()
+
+    import jax
+
+    assert int(trainer2.state.step) == int(trainer0.state.step)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer0.state.params),
+                    jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
