@@ -138,9 +138,11 @@ def test_lenet_matches_reference():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     sys.modules["pytorch_lightning"].LightningModule = object
+    sys.modules.pop("joint_model", None)  # evict another dir's cached module
     try:
         from joint_model import LeNet as RefLeNet  # type: ignore
     finally:
+        sys.modules.pop("joint_model", None)
         sys.path.pop(0)
     tm = RefLeNet(1, 6, 3).eval()
     x = np.random.default_rng(5).normal(size=(2, 1, 28, 28)).astype(np.float32)
@@ -181,9 +183,11 @@ def test_lstm_classifier_matches_reference():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     sys.modules["pytorch_lightning"].LightningModule = object
+    sys.modules.pop("joint_model", None)  # evict another dir's cached module
     try:
         from joint_model import LstmClassifier as RefLstm  # type: ignore
     finally:
+        sys.modules.pop("joint_model", None)
         sys.path.pop(0)
     tm = RefLstm(81, 2).eval()
     x = np.random.default_rng(7).normal(size=(3, 40, 81)).astype(np.float32)

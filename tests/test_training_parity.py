@@ -31,9 +31,11 @@ def _load_reference_lenet():
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     sys.modules["pytorch_lightning"].LightningModule = object
+    sys.modules.pop("joint_model", None)  # evict another dir's cached module
     try:
         import joint_model as ref_joint  # type: ignore
     finally:
+        sys.modules.pop("joint_model", None)
         sys.path.pop(0)
     return ref_joint
 
@@ -772,9 +774,11 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
         sys.modules.setdefault(name, types.ModuleType(name))
     sys.modules["torchvision"].models = sys.modules["torchvision.models"]
     sys.modules["pytorch_lightning"].LightningModule = object
+    sys.modules.pop("joint_model", None)  # evict another dir's cached module
     try:
         from joint_model import LstmClassifier as RefLstm  # type: ignore
     finally:
+        sys.modules.pop("joint_model", None)
         sys.path.pop(0)
 
     torch.manual_seed(17)
