@@ -73,6 +73,7 @@ class Loader:
         # encoder stems cast to the compute dtype as their first op.
         self.transfer_dtype = transfer_dtype
         self._epoch = 0
+        self._skip_n = 0
         self._sharding = None
         if mesh is not None:
             from ..parallel.mesh import batch_sharding
@@ -89,6 +90,13 @@ class Loader:
         # (data/core.sample_rng) — forward the epoch
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self._epoch)
+
+    def skip(self, n_batches: int) -> None:
+        """Drop the first ``n_batches`` of the NEXT iteration at the index
+        level (mid-epoch resume, engine/trainer.py): skipped batches are
+        never gathered, decoded, or transferred.  One-shot — consumed by
+        the next ``__iter__``."""
+        self._skip_n = max(0, int(n_batches))
 
     def __len__(self) -> int:
         return -(-len(self.sampler) // self.batch_size)
@@ -107,7 +115,8 @@ class Loader:
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idxs = np.asarray(self.sampler.indices(self._epoch))
         bs = self.batch_size
-        for start in range(0, len(idxs), bs):
+        skip, self._skip_n = self._skip_n, 0
+        for start in range(skip * bs, len(idxs), bs):
             chunk = idxs[start:start + bs]
             valid_n = len(chunk)
             idx_padded = chunk if valid_n == bs else np.concatenate(

@@ -272,19 +272,21 @@ class BestCheckpointer:
             self.steps_into_epoch = int(steps_into_epoch)
             self.meta_step = step
             self._write_meta()
-        self._save(path, state_to_tree(state))
-        # GC: drop the oldest rolling checkpoints (never touches 'best').
-        # The just-saved path may still be in flight (async) and absent from
-        # the listing — count it explicitly and prune the older ones.
+        # GC BEFORE saving: pruning after would wait() on the checkpoint
+        # just enqueued, turning every async save into a synchronous one
+        # (the ckpt_every_n_steps hot path).  The wait here covers only the
+        # PREVIOUS save — it has had a whole inter-checkpoint interval to
+        # commit — and also makes it visible to the candidate listing.
+        self.wait()
         candidates = [p for _, p in self._last_candidates() if p != path]
         keep_prior = self.keep_last - 1
         stale_list = candidates[:-keep_prior] if keep_prior else candidates
         for stale in stale_list:
-            self.wait()
             if os.path.isdir(stale):
                 shutil.rmtree(stale, ignore_errors=True)
             elif os.path.exists(stale + ".msgpack"):
                 os.remove(stale + ".msgpack")
+        self._save(path, state_to_tree(state))
         return path
 
     def restore_last(self, state: TrainState) -> Optional[TrainState]:

@@ -223,14 +223,23 @@ class Trainer:
                 print(f"[trainer] WARNING: epoch geometry changed since the "
                       f"checkpoint ({self.ckpt.steps_per_epoch} -> "
                       f"{steps_per_epoch} steps/epoch); resuming at epoch "
-                      f"{start_epoch} from the recorded epoch count")
+                      f"{start_epoch} from the recorded epoch count"
+                      + (f"; the checkpoint's {self.ckpt.steps_into_epoch} "
+                         f"mid-epoch batch(es) will be REPLAYED under the "
+                         f"new geometry (resume is no longer exact)"
+                         if self.ckpt.steps_into_epoch else ""))
             else:
                 # mid-epoch save: the first resumed epoch replays its index
                 # stream and skips the batches the checkpoint already saw
                 # (deterministic per-(seed, epoch) sampling makes this exact)
                 skip_batches = int(self.ckpt.steps_into_epoch or 0)
         else:
+            # step-derived fallback (pre-metadata ckpt, or meta ahead of a
+            # torn async save): the step counter itself carries the
+            # mid-epoch offset — without it, the partial epoch's batches
+            # would be silently re-trained
             start_epoch = int(self.state.step) // steps_per_epoch
+            skip_batches = int(self.state.step) % steps_per_epoch
         global_step = int(self.state.step)
         # profile the run's SECOND epoch when there is one (the first pays
         # compilation), else its only epoch — a fixed `epoch == 1` test
@@ -250,15 +259,22 @@ class Trainer:
                 jax.profiler.start_trace(self.profile_dir)
             pending = []
             into_epoch = 0
-            batch_iter = iter(self.train_loader)
             if epoch == start_epoch and skip_batches:
                 print(f"[trainer] mid-epoch resume: skipping the first "
                       f"{skip_batches} already-trained batch(es) of epoch "
                       f"{epoch}")
-                for _ in range(skip_batches):
+                into_epoch = skip_batches
+            if into_epoch and hasattr(self.train_loader, "skip"):
+                # index-level skip: the skipped batches are never decoded
+                # or transferred (a consumed-iterator skip would pay the
+                # full host+H2D pipeline for each one)
+                self.train_loader.skip(into_epoch)
+                batch_iter = iter(self.train_loader)
+            else:
+                batch_iter = iter(self.train_loader)
+                for _ in range(into_epoch):
                     if next(batch_iter, None) is None:
                         break
-                into_epoch = skip_batches
             for batch in batch_iter:
                 if self.steps_per_dispatch > 1:
                     pending.append(batch)
@@ -284,14 +300,19 @@ class Trainer:
                            float(np.mean(np.asarray(v)))
                            for k, v in metrics.items() if k != "valid_count"}
                     if self.state.lr_schedule is not None:
-                        # LearningRateMonitor logs per step (run_trainer.py:20)
-                        row["lr-SGD"] = float(self.state.lr_schedule(global_step))
+                        # LearningRateMonitor parity (run_trainer.py:20):
+                        # optax consumed schedule(count-before-increment),
+                        # so the step that just ran used this LR
+                        row["lr-SGD"] = float(
+                            self.state.lr_schedule(global_step - advanced))
                     self.logger.log(row, step=global_step)
                 into_epoch += advanced
                 if self._preempt_requested:
                     self._preempt_exit(epoch, steps_per_epoch, into_epoch)
-                if (self.ckpt_every
+                if (self.ckpt_every and into_epoch < steps_per_epoch
                         and global_step % self.ckpt_every < advanced):
+                    # (the epoch's final step is covered by the epoch-
+                    # boundary save below — don't serialize it twice)
                     self.ckpt.save_last(
                         self.state, epochs_done=epoch,
                         steps_per_epoch=steps_per_epoch,

@@ -389,11 +389,11 @@ def test_lr_sgd_in_per_step_stream(tmp_path):
                              for r in step_rows)
 
 
-class _CrashAfter:
-    """Loader wrapper that dies after yielding n batches (simulated crash)."""
+class _InterruptAfter:
+    """Loader wrapper that runs ``action`` when batch n is reached."""
 
-    def __init__(self, inner, n):
-        self.inner, self.n = inner, n
+    def __init__(self, inner, n, action):
+        self.inner, self.n, self.action = inner, n, action
 
     def set_epoch(self, epoch):
         self.inner.set_epoch(epoch)
@@ -404,8 +404,12 @@ class _CrashAfter:
     def __iter__(self):
         for i, b in enumerate(self.inner):
             if i == self.n:
-                raise RuntimeError("simulated crash")
+                self.action()
             yield b
+
+
+def _raise_crash():
+    raise RuntimeError("simulated crash")
 
 
 def test_mid_epoch_resume_is_exact(tmp_path):
@@ -426,11 +430,16 @@ def test_mid_epoch_resume_is_exact(tmp_path):
     # global step 4 (epochs_done=0, steps_into_epoch=4)
     crash_dir = str(tmp_path / "crash")
     trainer1, _ = build_trainer(avmnist, args_for(crash_dir))
-    trainer1.train_loader = _CrashAfter(trainer1.train_loader, 5)
+    trainer1.train_loader = _InterruptAfter(trainer1.train_loader, 5,
+                                           _raise_crash)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="simulated crash"):
         trainer1.fit()
+    # the simulated crash is an exception, not process death: the async
+    # step-4 save may still be in flight — let it commit before a second
+    # BestCheckpointer scans (and sweeps) pending dirs
+    trainer1.ckpt.wait()
 
     trainer2, _ = build_trainer(avmnist, args_for(crash_dir))
     assert trainer2.resume()
@@ -452,27 +461,6 @@ def test_mid_epoch_resume_is_exact(tmp_path):
                                rtol=0, atol=1e-7)
 
 
-class _SigtermAfter:
-    """Loader wrapper that SIGTERMs our own process after n batches."""
-
-    def __init__(self, inner, n):
-        self.inner, self.n = inner, n
-
-    def set_epoch(self, epoch):
-        self.inner.set_epoch(epoch)
-
-    def __len__(self):
-        return len(self.inner)
-
-    def __iter__(self):
-        import signal
-
-        for i, b in enumerate(self.inner):
-            if i == self.n:
-                os.kill(os.getpid(), signal.SIGTERM)
-            yield b
-
-
 def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     """Preemption semantics: SIGTERM mid-training saves a mid-epoch
     exact-resume checkpoint and raises Preempted(143); a --resume run
@@ -490,7 +478,11 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
 
     pre_dir = str(tmp_path / "pre")
     trainer1, _ = build_trainer(avmnist, args_for(pre_dir))
-    trainer1.train_loader = _SigtermAfter(trainer1.train_loader, 5)
+    import signal
+
+    trainer1.train_loader = _InterruptAfter(
+        trainer1.train_loader, 5,
+        lambda: os.kill(os.getpid(), signal.SIGTERM))
     import pytest as _pytest
 
     with _pytest.raises(Preempted) as exc:
