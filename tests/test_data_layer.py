@@ -214,3 +214,31 @@ def test_host_shards_equal_length_when_uneven():
         full = single.indices(epoch=1)
         np.testing.assert_array_equal(recombined[:9], full)
         assert recombined[9] == full[0]
+
+
+def test_loader_skip_is_index_level_and_one_shot():
+    """Loader.skip(k) (mid-epoch resume): the first k batches are never
+    gathered — not merely discarded — and the skip applies to one
+    iteration only."""
+    base = make_synthetic_dataset("mimic", 64, 4, seed=0, dirs_seed=0)
+    gathered = []
+
+    class Spy:
+        def __len__(self):
+            return len(base)
+
+        def gather(self, idx):
+            gathered.append(np.asarray(idx))
+            return base.gather(idx)
+
+    loader = Loader(Spy(), 16, SequentialSampler(64))
+    loader.skip(2)
+    batches = list(loader)
+    assert len(batches) == 2  # 4 batches/epoch, first 2 skipped
+    seen = np.concatenate(gathered)
+    np.testing.assert_array_equal(np.sort(seen), np.arange(32, 64))
+    assert np.array_equal(np.asarray(batches[0]["idx"]), np.arange(32, 48))
+    # one-shot: the next iteration is full again
+    gathered.clear()
+    assert len(list(loader)) == 4
+    assert len(np.concatenate(gathered)) == 64
