@@ -194,7 +194,11 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
         for row in csv.reader(f):
             if len(row) < 4 or row[3] != split:
                 continue
-            clip_id, cls = f"{row[0]}_{row[1]}", row[2]
+            # zero-padded start time — the naming every producer uses:
+            # reference get_data.py:70-71 / fix_missing.py:17 and our
+            # tools/preprocess.py vggsound-split all write
+            # <ytid>_<start zfill(6)>.*
+            clip_id, cls = f"{row[0]}_{str(row[1]).zfill(6)}", row[2]
             if split == "train":
                 class_map.setdefault(cls, len(class_map))
             if cls not in class_map:

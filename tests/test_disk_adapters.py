@@ -54,8 +54,9 @@ def test_vggsound_shared_class_map_across_splits(tmp_path):
         csv.writer(f).writerows(rows)
     os.makedirs(d / "audio")
     for clip, start, _, _ in rows:
-        _write_wav(d / "audio" / f"{clip}_{start}.wav")
-        _write_frames(str(d / "frames" / f"{clip}_{start}"), 3)
+        # producers zero-pad the start time (get_data.py:70-71, zfill(6))
+        _write_wav(d / "audio" / f"{clip}_{start.zfill(6)}.wav")
+        _write_frames(str(d / "frames" / f"{clip}_{start.zfill(6)}"), 3)
 
     args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,
                            use_video_frames=2, model_type="jprobas")
@@ -64,9 +65,9 @@ def test_vggsound_shared_class_map_across_splits(tmp_path):
                          bundle.train.labels))
     test_map = dict(zip([c for c, _ in bundle.test.items],
                         bundle.test.labels))
-    assert train_map["vidA_0"] == test_map["vidD_0"]  # dog == dog
-    assert train_map["vidB_0"] == test_map["vidC_0"]  # cat == cat
-    assert train_map["vidA_0"] != train_map["vidB_0"]
+    assert train_map["vidA_000000"] == test_map["vidD_000000"]  # dog == dog
+    assert train_map["vidB_000000"] == test_map["vidC_000000"]  # cat == cat
+    assert train_map["vidA_000000"] != train_map["vidB_000000"]
 
     batch = bundle.train.gather(np.array([0, 1]))
     assert batch["x1_waveform"].shape == (2, 80000)
@@ -170,13 +171,13 @@ def test_vggsound_wav_resampled_and_empty_audio_guarded(tmp_path):
     with open(d / "vggsound.csv", "w", newline="") as f:
         csv.writer(f).writerows(rows)
     os.makedirs(d / "audio")
-    _write_wav(d / "audio" / "vidA_0.wav", seconds=2, sr=32000)
-    _write_wav(d / "audio" / "vidB_0.wav", seconds=0, sr=16000)  # empty
-    for clip in ("vidA_0", "vidB_0"):
+    _write_wav(d / "audio" / "vidA_000000.wav", seconds=2, sr=32000)
+    _write_wav(d / "audio" / "vidB_000000.wav", seconds=0, sr=16000)  # empty
+    for clip in ("vidA_000000", "vidB_000000"):
         _write_frames(str(d / "frames" / clip), 2)
 
     # unit level: 2 s at 32 kHz -> 32000 samples at 16 kHz
-    wav = vggsound._read_wav(str(d / "audio" / "vidA_0.wav"))
+    wav = vggsound._read_wav(str(d / "audio" / "vidA_000000.wav"))
     assert abs(len(wav) - 32000) <= 1
 
     args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,

@@ -290,7 +290,7 @@ def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
     rows = []
     for i in range(6):
         ytid, start = f"vid{i:03d}", i
-        clip = f"{ytid}_{start}"
+        clip = f"{ytid}_{start:06d}"  # producers zero-pad the start
         pcm = (rng.normal(scale=0.2, size=SR * 11) * 20000).astype(np.int16)
         write_mp4(str(tmp_path / "video" / f"{clip}.mp4"),
                   [_jpeg(i)], 1.0, pcm, channels=1, rate=SR)
@@ -302,7 +302,7 @@ def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
         split = "train" if i < 4 else "test"
         rows.append(f"{ytid},{start},class{i % 2},{split}")
     # one clip with video but NO frames: must be dropped, not crash
-    clip = "vidnof_9"
+    clip = "vidnof_000009"
     write_mp4(str(tmp_path / "video" / f"{clip}.mp4"), [_jpeg(9)], 1.0,
               (rng.normal(size=SR * 11) * 100).astype(np.int16), 1, SR)
     rows.append("vidnof,9,class0,train")
@@ -327,14 +327,14 @@ def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
     from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
 
     os.makedirs(tmp_path / "video")
-    path = str(tmp_path / "video" / "vid000_0.mp4")
+    path = str(tmp_path / "video" / "vid000_000000.mp4")
     write_mp4(path, [_jpeg(0)], 1.0,
               np.zeros(SR, np.int16), 1, SR)
     data = bytearray(open(path, "rb").read())
     idx = data.find(b"sowt")
     data[idx:idx + 4] = b"mp4a"  # pretend AAC
     open(path, "wb").write(bytes(data))
-    os.makedirs(tmp_path / "frames" / "vid000_0")
+    os.makedirs(tmp_path / "frames" / "vid000_000000")
     (tmp_path / "vggsound.csv").write_text("vid000,0,class0,train\n")
 
     args = type("A", (), {"data_path": str(tmp_path) + "/", "seed": 0,
@@ -356,12 +356,12 @@ def test_vggsound_adapter_rejects_empty_test_split(tmp_path):
 
     os.makedirs(tmp_path / "audio")
     pcm = (np.zeros(SR * 11)).astype(np.int16)
-    with wave.open(str(tmp_path / "audio" / "vid000_0.wav"), "wb") as w:
+    with wave.open(str(tmp_path / "audio" / "vid000_000000.wav"), "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(SR)
         w.writeframes(pcm.tobytes())
-    fdir = tmp_path / "frames" / "vid000_0"
+    fdir = tmp_path / "frames" / "vid000_000000"
     os.makedirs(fdir)
     for j in range(2):
         (fdir / f"f{j}.jpg").write_bytes(_jpeg(j))

@@ -213,3 +213,23 @@ def test_vggsound_split_routes_tar_shards(tmp_path):
     assert (root / "train" / names[2]).read_bytes() == payloads[names[2]]
     assert not (root / "train" / "not_in_csv.mp4").exists()
     assert not (root / "vggsound_01.tar").exists()  # --cleanup
+
+
+def test_fix_missing_vggsound_padded_naming(tmp_path):
+    """vggsound.csv rows (numeric start column) match files named
+    <ytid>_<start zfill(6)>.mp4 (reference fix_missing.py:17)."""
+    data_root = tmp_path / "clips"
+    data_root.mkdir()
+    (data_root / "vidA_000030.mp4").touch()
+    csv_file = tmp_path / "vggsound.csv"
+    with open(csv_file, "w", newline="") as f:
+        csv.writer(f).writerows([
+            ["vidA", "30", "dog", "train"],
+            ["vidB", "7", "cat", "train"],   # file absent -> dropped
+        ])
+    out_csv = tmp_path / "fixed.csv"
+    preprocess.main(["fix-missing", "--csv-file", str(csv_file),
+                     "--data-root", str(data_root), "--out", str(out_csv),
+                     "--suffix", ".mp4"])
+    rows = list(csv.reader(open(out_csv)))
+    assert rows == [["vidA", "30", "dog", "train"]]

@@ -82,7 +82,17 @@ def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
                 "decodes MJPEG only)")
         times = m.sample_times(t)
         start = seg[0] if seg else 0.0
-        end = seg[1] if seg else float(times[-1]) + 1.0 / fps
+        # end at the TRACK duration like ffmpeg's fps filter (the last
+        # sample's decode time ends the grid a frame-duration early);
+        # duration==0 (malformed mdhd) falls back to the old estimate
+        tr = m.tracks[t]
+        duration = tr["duration"] / max(tr["timescale"], 1)
+        if seg:
+            end = seg[1]
+        elif duration > 0:
+            end = duration
+        else:
+            end = float(times[-1]) + 1.0 / fps
         # ffmpeg -vf fps semantics: one frame per 1/fps tick, nearest
         # preceding sample
         n_out = 0
@@ -136,13 +146,9 @@ def _read_wav_mono(path: str) -> np.ndarray:
         if channels > 1:
             data = data.reshape(-1, channels).mean(axis=1)
         out = (data / 32768.0).astype(np.float32)
-    if sr != TARGET_SR:
-        # linear resample (reference uses librosa's default resampler;
-        # distributional parity only)
-        n_out = int(len(out) * TARGET_SR / sr)
-        out = np.interp(np.linspace(0, len(out) - 1, n_out),
-                        np.arange(len(out)), out).astype(np.float32)
-    return out
+    from multimodal_clinical_tpu.utils.native import resample_linear
+
+    return resample_linear(out, sr, TARGET_SR)
 
 
 def cmd_cremad_audio(args):
@@ -161,7 +167,13 @@ def cmd_cremad_audio(args):
     def flush():
         if not batch:
             return
-        specs = np.asarray(cremad_spectrogram(jnp.asarray(np.stack(batch))))
+        # pad the tail batch to the full batch size (repeat the last wav)
+        # so only ONE program shape ever compiles — a second tail-shaped
+        # compile costs minutes through this image's remote-TPU tunnel
+        n_real = len(batch)
+        padded = batch + [batch[-1]] * (args.batch_size - n_real)
+        specs = np.asarray(
+            cremad_spectrogram(jnp.asarray(np.stack(padded))))[:n_real]
         for name, spec in zip(names, specs):
             with open(os.path.join(args.out,
                                    os.path.splitext(name)[0] + ".pkl"),
@@ -172,6 +184,10 @@ def cmd_cremad_audio(args):
 
     for name in wavs:
         wav = _read_wav_mono(os.path.join(args.wav_dir, name))
+        if len(wav) == 0:
+            raise ValueError(
+                f"{os.path.join(args.wav_dir, name)}: empty wav (corrupt "
+                f"or zero-length decode)")
         reps = int(np.ceil(target_len / max(len(wav), 1)))
         wav = np.clip(np.tile(wav, reps)[:target_len], -1.0, 1.0)
         batch.append(wav)
@@ -475,9 +491,18 @@ def cmd_check_frames(args):
 def cmd_fix_missing(args):
     with open(args.csv_file) as f:
         rows = list(csv.reader(f))
-    kept = [r for r in rows
-            if os.path.exists(os.path.join(args.data_root,
-                                           r[0] + args.suffix))]
+
+    def exists(r):
+        # vggsound.csv rows (numeric start in col 1) name files
+        # <ytid>_<start zfill(6)><suffix> — reference fix_missing.py:17;
+        # other csvs (no numeric col) use the bare id
+        stems = [r[0]]
+        if len(r) >= 2 and str(r[1]).isdigit():
+            stems.insert(0, f"{r[0]}_{str(r[1]).zfill(6)}")
+        return any(os.path.exists(os.path.join(args.data_root, s + args.suffix))
+                   for s in stems)
+
+    kept = [r for r in rows if exists(r)]
     with open(args.out, "w", newline="") as f:
         csv.writer(f).writerows(kept)
     print(f"kept {len(kept)}/{len(rows)} rows -> {args.out}")
