@@ -10,6 +10,7 @@ best-checkpointing, and test from the best checkpoint.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional, Tuple
 
@@ -64,8 +65,15 @@ def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]
     seed = int(getattr(args, "seed", 0))
     # disk gathers are stateless (per-(seed, epoch, index) augmentation
     # rng — data/core.sample_rng) so any worker count yields identical
-    # batches; workers parallelize JPEG decode (GIL-releasing native path)
-    workers = int(getattr(args, "loader_workers", 1) or 1)
+    # batches; workers parallelize JPEG decode (GIL-releasing native path).
+    # Default: the config's num_cpus (the reference maps it to 12 DataLoader
+    # workers, cremad/run_trainer.py:41-49), capped at host cores;
+    # loader_workers overrides explicitly.
+    workers = getattr(args, "loader_workers", None)
+    if workers is None:
+        host_cores = os.cpu_count() or 1
+        workers = min(int(getattr(args, "num_cpus", 1) or 1), host_cores)
+    workers = max(1, int(workers))
     # bf16 feature transfer (half the H2D bytes) when the model computes
     # in bf16 anyway; config key transfer_dtype=float32 opts out
     transfer_dtype = None

@@ -49,21 +49,24 @@ def _gelu_tanh(x):
 
 class EncoderBlock(nn.Module):
     dtype: Optional[Any] = None
+    width: int = WIDTH
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="layer_norm1")(x)
         h = nn.MultiHeadDotProductAttention(
-            num_heads=HEADS, dtype=self.dtype, param_dtype=jnp.float32,
+            num_heads=self.heads, dtype=self.dtype, param_dtype=jnp.float32,
             name="self_attn")(h, h)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="layer_norm2")(x)
-        h = nn.Dense(MLP_DIM, dtype=self.dtype, param_dtype=jnp.float32,
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc1")(h)
         h = _gelu_tanh(h)
-        h = nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+        h = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(h)
         return x + h
 
@@ -73,76 +76,116 @@ class MAPHead(nn.Module):
     the patch tokens, then LN + residual MLP."""
 
     dtype: Optional[Any] = None
+    width: int = WIDTH
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
 
     @nn.compact
     def __call__(self, x):
         b = x.shape[0]
         probe = self.param("probe", nn.initializers.xavier_uniform(),
-                           (1, 1, WIDTH), jnp.float32)
-        probe = jnp.broadcast_to(probe.astype(x.dtype), (b, 1, WIDTH))
+                           (1, 1, self.width), jnp.float32)
+        probe = jnp.broadcast_to(probe.astype(x.dtype), (b, 1, self.width))
         h = nn.MultiHeadDotProductAttention(
-            num_heads=HEADS, dtype=self.dtype, param_dtype=jnp.float32,
+            num_heads=self.heads, dtype=self.dtype, param_dtype=jnp.float32,
             name="attention")(probe, x)
         y = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="layernorm")(h)
-        y2 = nn.Dense(MLP_DIM, dtype=self.dtype, param_dtype=jnp.float32,
+        y2 = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=jnp.float32,
                       name="mlp_fc1")(y)
         y2 = _gelu_tanh(y2)
-        y2 = nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+        y2 = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
                       name="mlp_fc2")(y2)
         return (h + y2)[:, 0, :]
 
 
 class SigLIPVisionTower(nn.Module):
     dtype: Optional[Any] = None
+    width: int = WIDTH
+    layers: int = LAYERS
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
+    patch: int = PATCH
+    image_size: int = IMAGE_SIZE
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
-        """pixels: (B, 224, 224, 3) -> (B, 768)."""
-        x = nn.Conv(WIDTH, (PATCH, PATCH), strides=(PATCH, PATCH),
+        """pixels: (B, image_size, image_size, 3) -> (B, width)."""
+        x = nn.Conv(self.width, (self.patch, self.patch),
+                    strides=(self.patch, self.patch),
                     padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32, name="patch_embedding")(pixels)
         b, h, w, c = x.shape
         x = x.reshape(b, h * w, c)
         pos = self.param("position_embedding",
                          nn.initializers.normal(0.02),
-                         (1, (IMAGE_SIZE // PATCH) ** 2, WIDTH), jnp.float32)
+                         (1, (self.image_size // self.patch) ** 2,
+                          self.width), jnp.float32)
         x = x + pos.astype(x.dtype)
-        for i in range(LAYERS):
-            x = EncoderBlock(dtype=self.dtype, name=f"layers_{i}")(x)
+        for i in range(self.layers):
+            x = EncoderBlock(dtype=self.dtype, width=self.width,
+                             heads=self.heads, mlp_dim=self.mlp_dim,
+                             name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="post_layernorm")(x)
-        return MAPHead(dtype=self.dtype, name="head")(x)
+        return MAPHead(dtype=self.dtype, width=self.width, heads=self.heads,
+                       mlp_dim=self.mlp_dim, name="head")(x)
 
 
 class SigLIPTextTower(nn.Module):
     dtype: Optional[Any] = None
+    width: int = WIDTH
+    layers: int = LAYERS
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
+    text_len: int = TEXT_LEN
+    vocab: int = VOCAB
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
-        """token_ids: (B, 64) int32 -> (B, 768)."""
-        x = nn.Embed(VOCAB, WIDTH, param_dtype=jnp.float32,
+        """token_ids: (B, text_len) int32 -> (B, width)."""
+        x = nn.Embed(self.vocab, self.width, param_dtype=jnp.float32,
                      dtype=self.dtype, name="token_embedding")(token_ids)
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
-                         (1, TEXT_LEN, WIDTH), jnp.float32)
+                         (1, self.text_len, self.width), jnp.float32)
         x = x + pos[:, : x.shape[1], :].astype(x.dtype)
-        for i in range(LAYERS):
-            x = EncoderBlock(dtype=self.dtype, name=f"layers_{i}")(x)
+        for i in range(self.layers):
+            x = EncoderBlock(dtype=self.dtype, width=self.width,
+                             heads=self.heads, mlp_dim=self.mlp_dim,
+                             name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="final_layer_norm")(x)
         pooled = x[:, -1, :]  # HF SiglipTextModel: last-token pooling
-        return nn.Dense(WIDTH, dtype=self.dtype, param_dtype=jnp.float32,
+        return nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32,
                         name="head")(pooled)
 
 
 class SigLIPModel(nn.Module):
+    """Geometry fields default to siglip-base-patch16-224 (the reference's
+    checkpoint); smaller settings exist for trajectory-parity tests against
+    HF torch on tiny twins (tests/test_siglip_parity.py)."""
+
     dtype: Optional[Any] = None
+    width: int = WIDTH
+    layers: int = LAYERS
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
+    patch: int = PATCH
+    image_size: int = IMAGE_SIZE
+    text_len: int = TEXT_LEN
+    vocab: int = VOCAB
 
     @nn.compact
     def __call__(self, token_ids, pixels, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        text = SigLIPTextTower(dtype=self.dtype, name="text_model")(token_ids)
-        image = SigLIPVisionTower(dtype=self.dtype, name="vision_model")(pixels)
+        text = SigLIPTextTower(
+            dtype=self.dtype, width=self.width, layers=self.layers,
+            heads=self.heads, mlp_dim=self.mlp_dim, text_len=self.text_len,
+            vocab=self.vocab, name="text_model")(token_ids)
+        image = SigLIPVisionTower(
+            dtype=self.dtype, width=self.width, layers=self.layers,
+            heads=self.heads, mlp_dim=self.mlp_dim, patch=self.patch,
+            image_size=self.image_size, name="vision_model")(pixels)
         # HF SiglipModel.forward L2-normalizes both embeds; the reference's
         # MLP heads consume exactly these normalized outputs
         # (food101/joint_model.py:55-58)
@@ -182,18 +225,23 @@ def load_hf_siglip_params(checkpoint_path: str, params: dict) -> dict:
     return port_siglip_state_dict(state, params)
 
 
-def port_siglip_state_dict(state: dict, params: dict) -> dict:
+def port_siglip_state_dict(state: dict, params: dict, *,
+                           width: int = WIDTH, heads: int = HEADS,
+                           layers: int = LAYERS) -> dict:
     """Port an HF SiglipModel state_dict (tensor or numpy values) into the
-    Flax parameter tree.  Also used for architecture-parity testing against
-    a randomly initialized torch SiglipModel (tests/test_siglip_parity.py)."""
+    Flax parameter tree.  Also used for architecture- and trajectory-parity
+    testing against a randomly initialized torch SiglipModel
+    (tests/test_siglip_parity.py) — geometry kwargs cover tiny twins."""
     state = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
                  np.asarray(v)) for k, v in state.items()}
 
     import copy
 
     new = copy.deepcopy(jnp_to_np(params))
-    _port_tower(state, new["text_model"], "text_model.encoder", text=True)
-    _port_tower(state, new["vision_model"], "vision_model.encoder", text=False)
+    _port_tower(state, new["text_model"], "text_model.encoder", text=True,
+                width=width, heads=heads, layers=layers)
+    _port_tower(state, new["vision_model"], "vision_model.encoder",
+                text=False, width=width, heads=heads, layers=layers)
     # embeddings + heads
     new["text_model"]["token_embedding"]["embedding"] = _g(
         state, "text_model.embeddings.token_embedding.weight")
@@ -216,7 +264,8 @@ def port_siglip_state_dict(state: dict, params: dict) -> dict:
         state, "vision_model.post_layernorm.weight")
     new["vision_model"]["post_layernorm"]["bias"] = _g(
         state, "vision_model.post_layernorm.bias")
-    _port_map_head(state, new["vision_model"]["head"])
+    _port_map_head(state, new["vision_model"]["head"],
+                   width=width, heads=heads)
     return new
 
 
@@ -230,48 +279,50 @@ def _g(state, key):
     return np.asarray(state[key])
 
 
-def _port_attn(state, dst, prefix):
+def _port_attn(state, dst, prefix, *, width=WIDTH, heads=HEADS):
     for hf_name, fl_name in (("q_proj", "query"), ("k_proj", "key"),
                              ("v_proj", "value"), ("out_proj", "out")):
         w = _g(state, f"{prefix}.{hf_name}.weight")
         b = _g(state, f"{prefix}.{hf_name}.bias")
-        head_dim = WIDTH // HEADS
+        head_dim = width // heads
         if fl_name == "out":
-            dst[fl_name]["kernel"] = w.T.reshape(HEADS, head_dim, WIDTH)
+            dst[fl_name]["kernel"] = w.T.reshape(heads, head_dim, width)
             dst[fl_name]["bias"] = b
         else:
-            dst[fl_name]["kernel"] = w.T.reshape(WIDTH, HEADS, head_dim)
-            dst[fl_name]["bias"] = b.reshape(HEADS, head_dim)
+            dst[fl_name]["kernel"] = w.T.reshape(width, heads, head_dim)
+            dst[fl_name]["bias"] = b.reshape(heads, head_dim)
 
 
-def _port_tower(state, dst, prefix, text: bool):
-    for i in range(LAYERS):
+def _port_tower(state, dst, prefix, text: bool, *,
+                width=WIDTH, heads=HEADS, layers=LAYERS):
+    for i in range(layers):
         blk = dst[f"layers_{i}"]
         p = f"{prefix}.layers.{i}"
         for ln in ("layer_norm1", "layer_norm2"):
             blk[ln]["scale"] = _g(state, f"{p}.{ln}.weight")
             blk[ln]["bias"] = _g(state, f"{p}.{ln}.bias")
-        _port_attn(state, blk["self_attn"], f"{p}.self_attn")
+        _port_attn(state, blk["self_attn"], f"{p}.self_attn",
+                   width=width, heads=heads)
         blk["mlp_fc1"]["kernel"] = _g(state, f"{p}.mlp.fc1.weight").T
         blk["mlp_fc1"]["bias"] = _g(state, f"{p}.mlp.fc1.bias")
         blk["mlp_fc2"]["kernel"] = _g(state, f"{p}.mlp.fc2.weight").T
         blk["mlp_fc2"]["bias"] = _g(state, f"{p}.mlp.fc2.bias")
 
 
-def _port_map_head(state, dst):
+def _port_map_head(state, dst, *, width=WIDTH, heads=HEADS):
     p = "vision_model.head"
     dst["probe"] = _g(state, f"{p}.probe")
-    head_dim = WIDTH // HEADS
+    head_dim = width // heads
     # HF MAP head uses torch nn.MultiheadAttention (packed in_proj)
     in_w = _g(state, f"{p}.attention.in_proj_weight")
     in_b = _g(state, f"{p}.attention.in_proj_bias")
     qw, kw, vw = np.split(in_w, 3, axis=0)
     qb, kb, vb = np.split(in_b, 3, axis=0)
     for name, w, b in (("query", qw, qb), ("key", kw, kb), ("value", vw, vb)):
-        dst["attention"][name]["kernel"] = w.T.reshape(WIDTH, HEADS, head_dim)
-        dst["attention"][name]["bias"] = b.reshape(HEADS, head_dim)
+        dst["attention"][name]["kernel"] = w.T.reshape(width, heads, head_dim)
+        dst["attention"][name]["bias"] = b.reshape(heads, head_dim)
     ow = _g(state, f"{p}.attention.out_proj.weight")
-    dst["attention"]["out"]["kernel"] = ow.T.reshape(HEADS, head_dim, WIDTH)
+    dst["attention"]["out"]["kernel"] = ow.T.reshape(heads, head_dim, width)
     dst["attention"]["out"]["bias"] = _g(state, f"{p}.attention.out_proj.bias")
     dst["layernorm"]["scale"] = _g(state, f"{p}.layernorm.weight")
     dst["layernorm"]["bias"] = _g(state, f"{p}.layernorm.bias")

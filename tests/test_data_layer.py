@@ -66,6 +66,22 @@ def test_build_loaders_per_host_batch_size(monkeypatch):
     assert batch["label"].shape[0] == 8
 
 
+def test_build_loaders_num_cpus_drives_workers():
+    """num_cpus (the reference's 12-worker DataLoader knob,
+    cremad/run_trainer.py:41-49) defaults loader workers, capped at host
+    cores; loader_workers overrides explicitly."""
+    data = _bundle(64)
+    mesh = make_mesh()
+    host_cores = os.cpu_count() or 1
+    train, _, _ = build_loaders(_args(num_cpus=12), data, mesh)
+    assert train.workers == min(12, host_cores)
+    train, _, _ = build_loaders(_args(num_cpus=12, loader_workers=2),
+                                data, mesh)
+    assert train.workers == 2
+    train, _, _ = build_loaders(_args(), data, mesh)  # no keys at all
+    assert train.workers == 1
+
+
 def test_loader_parallel_gather_matches_sequential():
     rng = np.random.default_rng(0)
     ds = ArrayDataset([rng.normal(size=(40, 6)).astype(np.float32)],

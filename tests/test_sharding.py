@@ -144,6 +144,36 @@ def test_dryrun_multichip_entry():
     mod.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_under_driver_env():
+    """Regression for MULTICHIP r01/r02: the driver invokes the hook in a
+    fresh process with JAX_PLATFORMS=cpu +
+    --xla_force_host_platform_device_count=8 in the ENVIRONMENT — which this
+    image's sitecustomize plugin overrides to the axon TPU platform.  The
+    hook must not trust that env promise; it must self-provision a real
+    virtual-CPU backend (subprocess re-exec) and pass."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("_MMCT_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   env.get("XLA_FLAGS", ""))
+    env["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count=8".strip())
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True, timeout=1700,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:]
+    assert "dryrun_multichip ok" in proc.stdout, proc.stdout[-2000:]
+
+
 def test_param_spec_fsdp_rules():
     class FakePath:
         def __init__(self, key):
