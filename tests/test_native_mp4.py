@@ -198,6 +198,25 @@ def test_cli_video_frames_native(mp4_file, tmp_path):
         assert (clip_dir / name).read_bytes() == f
 
 
+def test_cli_codec_census(mp4_file, tmp_path):
+    """codec-census aggregates per-codec counts with a native verdict and
+    runs automatically at the start of video-frames/mp4-to-wav."""
+    path, *_ = mp4_file
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "preprocess.py"),
+         "codec-census", "--video-dir", os.path.dirname(path)],
+        check=True, capture_output=True, text=True, cwd=REPO)
+    assert "1 files probed" in proc.stdout
+    assert "video='jpeg' audio='sowt': 1 (native-ok)" in proc.stdout
+    # the census header also leads the extraction subcommands
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "preprocess.py"),
+         "video-frames", "--video-dir", os.path.dirname(path),
+         "--out", str(tmp_path / "f"), "--fps", "2", "--backend", "native"],
+        check=True, capture_output=True, text=True, cwd=REPO)
+    assert "[census]" in proc.stdout
+
+
 def test_cli_mp4_to_wav_native(mp4_file, tmp_path):
     path, _, pcm, channels, rate = mp4_file
     out = tmp_path / "wav"

@@ -19,6 +19,9 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
   vggsound-split  extract vggsound_NN.tar[.gz] shards and route clips to
                   train/test per the csv (make_train_test_split.py, stdlib
                   tarfile/gzip)
+  codec-census    aggregate per-codec file counts for a video dir with a
+                  native-decodable verdict (run BEFORE a big download:
+                  H.264/AAC needs ffmpeg — docs/DATASETS.md matrix)
   check-frames    report clip dirs with fewer than N frames
                   (vggsound/check_frames.py:4-22)
   fix-missing     reconcile a csv list against extracted files
@@ -63,6 +66,59 @@ def _pick_backend(requested: str) -> str:
 
 
 _JPEG_CODECS = {"jpeg", "mjpa", "mjpb", "MJPG", "mjpg"}
+
+
+def _codec_census(video_dir: str, exts) -> tuple:
+    """Aggregate container probe over ``video_dir``: {(video_codec,
+    audio_codec): count}, unreadable count, total.  Header-only reads via
+    the native demuxer — cheap even on a full VGGSound download."""
+    from multimodal_clinical_tpu.utils.native import Mp4File
+
+    census: dict = {}
+    unreadable = 0
+    files = sorted(f for f in os.listdir(video_dir) if f.endswith(tuple(exts)))
+    for name in files:
+        try:
+            with Mp4File(os.path.join(video_dir, name)) as m:
+                video = [t["codec"] for t in m.tracks
+                         if t["handler"] == "vide"]
+                audio = [t["codec"] for t in m.tracks
+                         if t["handler"] == "soun"]
+        except Exception:  # non-ISO-BMFF container (.avi/.flv) or corrupt
+            unreadable += 1
+            continue
+        key = (video[0] if video else "-", audio[0] if audio else "-")
+        census[key] = census.get(key, 0) + 1
+    return census, unreadable, len(files)
+
+
+def _print_census(video_dir: str, exts, need: str, backend: str) -> None:
+    """Per-codec file counts + native-decodability verdict, printed BEFORE
+    any per-file work so the H.264/AAC-needs-ffmpeg limitation is
+    discoverable up front (not 338 GB into a VGGSound download).
+    ``need`` is 'video' (frame extraction) or 'audio' (wav extraction)."""
+    from multimodal_clinical_tpu.utils import native as native_lib
+
+    if not native_lib.available():
+        return
+    try:
+        census, unreadable, total = _codec_census(video_dir, exts)
+    except Exception:
+        return
+    print(f"[census] {total} files probed in {video_dir}"
+          + (f" ({unreadable} not ISO-BMFF/unreadable)" if unreadable else ""))
+    ffmpeg_needed = unreadable
+    for (v, a), n in sorted(census.items(), key=lambda kv: -kv[1]):
+        ok = (v in _JPEG_CODECS if need == "video"
+              else a in native_lib.PCM_MP4_CODECS)
+        if not ok:
+            ffmpeg_needed += n
+        print(f"[census]   video={v!r} audio={a!r}: {n} "
+              f"({'native-ok' if ok else 'needs ffmpeg'})")
+    if ffmpeg_needed and backend == "native":
+        print(f"[census] WARNING: {ffmpeg_needed}/{total} files need ffmpeg "
+              f"for {need} extraction and the native backend is selected — "
+              "they will fail (supported-codec matrix: docs/DATASETS.md)")
 
 
 def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
@@ -215,6 +271,8 @@ def cmd_video_frames(args):
     backend = _pick_backend(getattr(args, "backend", "auto"))
     os.makedirs(args.out, exist_ok=True)
     segments = _load_segments(getattr(args, "segments", None))
+    _print_census(args.video_dir, (".mp4", ".flv", ".avi", ".mov"),
+                  "video", backend)
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith((".mp4", ".flv", ".avi", ".mov")))
     for name in videos:
@@ -256,6 +314,7 @@ def cmd_mp4_to_wav(args):
     backend = _pick_backend(getattr(args, "backend", "auto"))
     os.makedirs(args.out, exist_ok=True)
     segments = _load_segments(getattr(args, "segments", None))
+    _print_census(args.video_dir, (".mp4", ".mov"), "audio", backend)
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith((".mp4", ".mov")))
     for name in videos:
@@ -565,6 +624,14 @@ def main(argv=None):
     s.add_argument("--cleanup", action="store_true",
                    help="remove decompressed .tar after routing")
     s.set_defaults(fn=cmd_vggsound_split)
+
+    s = sub.add_parser("codec-census")
+    s.add_argument("--video-dir", required=True)
+    s.set_defaults(fn=lambda a: (
+        _print_census(a.video_dir, (".mp4", ".mov", ".flv", ".avi"),
+                      "video", "native"),
+        _print_census(a.video_dir, (".mp4", ".mov"), "audio", "native"),
+    ))
 
     s = sub.add_parser("check-frames")
     s.add_argument("--frames-root", required=True)
