@@ -69,7 +69,7 @@ def _fabricate_cremad_corpus(root: str, n_clips: int = 128) -> None:
         csv.writer(f).writerows(rows[: n_clips // 4])
 
 
-def bench_cremad_e2e(batch=64, steps=16, warmup=4):
+def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=4):
     """Loader-in-the-loop Crema-D train throughput (the BASELINE.json
     metric is the END-TO-END step: host decode + transforms + H2D + the
     jitted train step; the reference's 392 samples/s VGGSound number is
@@ -100,7 +100,7 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4):
             num_classes=6, batch_size=batch, learning_rate=1e-3,
             num_epochs=100, use_scheduler=True, seed=0, data_path=root + "/",
             model_type="jlogits", mesh_shape=None, compute_dtype="bfloat16",
-            loader_workers=4,
+            loader_workers=workers,
         )
         data = cremad.get_data(args)
         assert not data.synthetic
@@ -289,6 +289,14 @@ def main(batch=224, warmup=3, iters=20):
         "unit": "samples/sec",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
         **extra,
+        # measured single-chip ceiling (round-3 batch sweep,
+        # tools/batch_scaling.py): the samples/sec curve peaks AT batch 224
+        # (168: 1310 / 224: ~1500 / 336: 1422 / 448: 1366; >=672 fails
+        # remote-compile), and every custom-kernel lever is measured or
+        # costed at/below XLA parity (ROADMAP.md dead-ends) — step is
+        # compute-bound at ~63% avg MXU.
+        "ceiling_note": ("batch sweep peaks at 224; no remaining >1% lever "
+                         "measured — see ROADMAP.md"),
     }))
 
 
