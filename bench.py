@@ -69,7 +69,7 @@ def _fabricate_cremad_corpus(root: str, n_clips: int = 128) -> None:
         csv.writer(f).writerows(rows[: n_clips // 4])
 
 
-def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=4):
+def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=None):
     """Loader-in-the-loop Crema-D train throughput (the BASELINE.json
     metric is the END-TO-END step: host decode + transforms + H2D + the
     jitted train step; the reference's 392 samples/s VGGSound number is
@@ -100,7 +100,10 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=4):
             num_classes=6, batch_size=batch, learning_rate=1e-3,
             num_epochs=100, use_scheduler=True, seed=0, data_path=root + "/",
             model_type="jlogits", mesh_shape=None, compute_dtype="bfloat16",
-            loader_workers=workers,
+            # None = stock resolution (num_cpus capped at host cores: 1 on
+            # this box — the measured worker curve says threads HURT on a
+            # single core, tools/worker_scaling.py / ROADMAP.md)
+            loader_workers=workers, num_cpus=12,
         )
         data = cremad.get_data(args)
         assert not data.synthetic
@@ -219,7 +222,7 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
             num_classes=101, batch_size=batch, learning_rate=0.02,
             num_epochs=60, use_scheduler=True, seed=0, data_path=root + "/",
             model_type="jlogits", mesh_shape=None, compute_dtype="bfloat16",
-            loader_workers=4,
+            loader_workers=None, num_cpus=12,  # stock resolution (see above)
         )
         data = food101.get_data(args)
         assert not data.synthetic

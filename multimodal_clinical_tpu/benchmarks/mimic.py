@@ -77,7 +77,9 @@ def _load_real(path: str, task: int, seed: int):
 def get_data(args) -> DataBundle:
     path = getattr(args, "data_path", "data/mimic/im.pk")
     task = int(getattr(args, "task_num", -1))
-    if os.path.exists(path):
+    # isfile, not exists: data_path is the im.pk FILE itself; a directory
+    # here (e.g. a generic data_path override) means "no real data"
+    if os.path.isfile(path):
         train, val, test = _load_real(path, task, int(getattr(args, "seed", 0)))
         synthetic = False
     else:

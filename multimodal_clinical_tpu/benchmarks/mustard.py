@@ -67,7 +67,9 @@ def _load_real(path: str, max_seq_len: int):
 def get_data(args) -> DataBundle:
     path = getattr(args, "data_path", "data/mustard/sarcasm.pkl")
     max_seq_len = int(getattr(args, "max_seq_len", 40))
-    if os.path.exists(path):
+    # isfile, not exists: data_path is the sarcasm.pkl FILE itself; a
+    # directory here (e.g. a generic data_path override) means synthetic
+    if os.path.isfile(path):
         print("[mustard] note: reference flags this benchmark as unstable "
               "(mustard/ERROR.md)")
         train, val, test = _load_real(path, max_seq_len)

@@ -49,6 +49,23 @@ def tree_into_state(state: TrainState, tree: Dict[str, Any]) -> TrainState:
     return state.replace(**tree)
 
 
+def _host_fetch(tree):
+    """``np.asarray`` for every leaf, with multi-host awareness: a leaf
+    sharded across PROCESSES (multi-host DP/FSDP) is not fully addressable,
+    so it is first allgathered to a fully-replicated value (one jit identity
+    reshard — DCN traffic proportional to state size, paid only at
+    checkpoint cadence).  Single-process trees take the plain fast path."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x,
+                                                                tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def _default_backend() -> str:
     try:
         import orbax.checkpoint  # noqa: F401
@@ -92,6 +109,13 @@ class BestCheckpointer:
         # (0 for epoch-boundary saves) — enables mid-epoch exact resume
         self.steps_into_epoch: int = 0
         self.keep_last = max(1, int(keep_last))
+        # multi-host: every process computes/fetches symmetrically, but only
+        # process 0 writes files (shared ckpt_dir would race otherwise);
+        # restore reads on every process (ckpt_dir must be host-readable)
+        try:
+            self._primary = jax.process_index() == 0
+        except Exception:  # backend not initialized yet: single-process
+            self._primary = True
         os.makedirs(ckpt_dir, exist_ok=True)
         if backend == "auto":
             backend = _default_backend()
@@ -129,6 +153,8 @@ class BestCheckpointer:
         """Crash recovery: a committed '<name>.pending' dir is a save that
         finished after the old artifact was slated for replacement —
         promote it; sweep uncommitted debris."""
+        if not self._primary:
+            return
         for name in sorted(os.listdir(self.ckpt_dir)):
             if not name.endswith(".pending"):
                 continue
@@ -148,8 +174,11 @@ class BestCheckpointer:
         the epoch loop."""
         if self._orbax is not None and hasattr(self._orbax,
                                                "wait_until_finished"):
-            self._orbax.wait_until_finished()
+            self._orbax.wait_until_finished()  # every process: orbax's
+            # async commit involves cross-process barriers of its own
         pending, self._pending = self._pending, []
+        if not self._primary:
+            return  # the swap below is primary-only filesystem surgery
         for tmp, final in pending:
             if not self._committed(tmp):
                 continue  # failed save: leave the old artifact intact
@@ -164,16 +193,26 @@ class BestCheckpointer:
             pass  # interpreter teardown: nothing actionable
 
     def _save(self, path: str, tree: Dict[str, Any]) -> None:
-        host_tree = jax.tree_util.tree_map(np.asarray, tree)
+        # Multi-host: ALL processes fetch (the allgather inside _host_fetch
+        # is a collective every process must join) and ALL processes call
+        # the orbax save (orbax runs its own cross-process save/commit
+        # barriers; numpy leaves are written by the primary process only).
+        # Our extra filesystem ops (stale-tmp sweep, pending swap, msgpack
+        # writes) stay primary-only — concurrent writers to a shared
+        # ckpt_dir would race.  Restore expects ckpt_dir readable by every
+        # host (shared storage on real fleets).
+        host_tree = _host_fetch(tree)
         if self._orbax is not None:
             self.wait()  # one in-flight save at a time; finalizes pendings
             tmp = path + ".pending"
-            if os.path.exists(tmp):
+            if self._primary and os.path.exists(tmp):
                 shutil.rmtree(tmp, ignore_errors=True)
             self._orbax.save(tmp, host_tree)
             # swapped over `path` at the next wait(), once committed
             self._pending.append((tmp, path))
         else:
+            if not self._primary:
+                return
             tmp = path + ".msgpack.tmp"
             with open(tmp, "wb") as f:
                 f.write(serialization.to_bytes(host_tree))
@@ -203,6 +242,8 @@ class BestCheckpointer:
     def _write_meta(self) -> None:
         import json
 
+        if not self._primary:
+            return
         with open(os.path.join(self.ckpt_dir, "meta.json"), "w") as f:
             json.dump({"best_metric": self.best_metric,
                        "epochs_done": self.epochs_done,
@@ -278,14 +319,15 @@ class BestCheckpointer:
         # PREVIOUS save — it has had a whole inter-checkpoint interval to
         # commit — and also makes it visible to the candidate listing.
         self.wait()
-        candidates = [p for _, p in self._last_candidates() if p != path]
-        keep_prior = self.keep_last - 1
-        stale_list = candidates[:-keep_prior] if keep_prior else candidates
-        for stale in stale_list:
-            if os.path.isdir(stale):
-                shutil.rmtree(stale, ignore_errors=True)
-            elif os.path.exists(stale + ".msgpack"):
-                os.remove(stale + ".msgpack")
+        if self._primary:
+            candidates = [p for _, p in self._last_candidates() if p != path]
+            keep_prior = self.keep_last - 1
+            stale_list = candidates[:-keep_prior] if keep_prior else candidates
+            for stale in stale_list:
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+                elif os.path.exists(stale + ".msgpack"):
+                    os.remove(stale + ".msgpack")
         self._save(path, state_to_tree(state))
         return path
 
@@ -294,10 +336,17 @@ class BestCheckpointer:
         exact training resume (params, BN stats, optimizer buffers, EMA,
         QMF history, step counter). None if no checkpoint exists."""
         self.wait()  # surface step-stamped saves still in flight
+        if jax.process_count() > 1:
+            # the pending->final swap above is primary-only; make sure it
+            # happened before ANY process lists candidates (restore_last is
+            # called symmetrically — the later _host_fetch is a collective)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_restore_listing")
         candidates = self._last_candidates()
         if not candidates:
             return None
-        template = jax.tree_util.tree_map(np.asarray, state_to_tree(state))
+        template = _host_fetch(state_to_tree(state))
         errors = []
         # newest first; a torn/corrupt newest falls back to the older
         # intact rolling checkpoint instead of failing the resume
@@ -323,6 +372,6 @@ class BestCheckpointer:
                 self.best_path = candidate
             else:
                 return state
-        template = jax.tree_util.tree_map(np.asarray, state_to_tree(state))
+        template = _host_fetch(state_to_tree(state))
         tree = self._restore(self.best_path, template)
         return tree_into_state(state, tree)

@@ -56,9 +56,10 @@ class MultiSeedLoader:
     overlap is the difference between compute- and transfer-bound)."""
 
     def __init__(self, dataset, batch_size: int, samplers,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int = 1):
         self.loaders = [
-            Loader(dataset, batch_size, sampler, mesh=None, prefetch=1)
+            Loader(dataset, batch_size, sampler, mesh=None, prefetch=1,
+                   workers=workers)
             for sampler in samplers
         ]
         self.prefetch = max(1, int(prefetch))
@@ -148,13 +149,19 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
     state = create_multiseed_state(spec, args, sample_inputs, steps_per_epoch,
                                    seeds, opt_kwargs)
 
+    from .run import resolve_loader_workers
+
+    workers = resolve_loader_workers(args)
     train_loader = MultiSeedLoader(
         data.train, bs,
         [_make_sampler(data.train_sampler, data.train, int(s))
          for s in seeds],
+        workers=workers,
     )
-    val_loader = Loader(data.val, bs, SequentialSampler(len(data.val)))
-    test_loader = Loader(data.test, bs, SequentialSampler(len(data.test)))
+    val_loader = Loader(data.val, bs, SequentialSampler(len(data.val)),
+                        workers=workers)
+    test_loader = Loader(data.test, bs, SequentialSampler(len(data.test)),
+                         workers=workers)
 
     train_step, eval_step = make_multiseed_steps(spec)
 

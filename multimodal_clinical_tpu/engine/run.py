@@ -47,6 +47,17 @@ def _make_sampler(kind: str, dataset, seed: int, process_index: int = 0,
     return SequentialSampler(len(dataset), **proc)
 
 
+def resolve_loader_workers(args) -> int:
+    """Loader decode-thread count.  Default: the config's ``num_cpus`` (the
+    reference maps it to 12 DataLoader workers, cremad/run_trainer.py:41-49)
+    capped at host cores; ``loader_workers`` overrides explicitly."""
+    workers = getattr(args, "loader_workers", None)
+    if workers is None:
+        host_cores = os.cpu_count() or 1
+        workers = min(int(getattr(args, "num_cpus", 1) or 1), host_cores)
+    return max(1, int(workers))
+
+
 def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]:
     """Per-split loaders.  Multi-host: every process derives the same
     global per-epoch index stream and loads only its strided shard
@@ -65,15 +76,8 @@ def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]
     seed = int(getattr(args, "seed", 0))
     # disk gathers are stateless (per-(seed, epoch, index) augmentation
     # rng — data/core.sample_rng) so any worker count yields identical
-    # batches; workers parallelize JPEG decode (GIL-releasing native path).
-    # Default: the config's num_cpus (the reference maps it to 12 DataLoader
-    # workers, cremad/run_trainer.py:41-49), capped at host cores;
-    # loader_workers overrides explicitly.
-    workers = getattr(args, "loader_workers", None)
-    if workers is None:
-        host_cores = os.cpu_count() or 1
-        workers = min(int(getattr(args, "num_cpus", 1) or 1), host_cores)
-    workers = max(1, int(workers))
+    # batches; workers parallelize JPEG decode (GIL-releasing native path)
+    workers = resolve_loader_workers(args)
     # bf16 feature transfer (half the H2D bytes) when the model computes
     # in bf16 anyway; config key transfer_dtype=float32 opts out
     transfer_dtype = None

@@ -90,6 +90,24 @@ def main() -> None:
         eval_out = eval_step(state, last_batch)
         eval_loss = float(jnp.sum(eval_out["loss"]))
 
+        # checkpoint round-trip with CROSS-PROCESS-sharded (non-addressable)
+        # FSDP leaves: _host_fetch allgathers, process 0 writes, every
+        # process restores from the shared dir
+        from jax.experimental import multihost_utils
+
+        from multimodal_clinical_tpu.engine.checkpoint import BestCheckpointer
+
+        ckpt_dir = f"{out}.ckpt"  # same tmp FS for both processes
+        ckpt = BestCheckpointer(ckpt_dir, keep_last=1)
+        ckpt.save_last(state, epochs_done=0, steps_per_epoch=4)
+        ckpt.wait()
+        multihost_utils.sync_global_devices("ckpt_committed")
+        restored = ckpt.restore_last(state)
+        assert restored is not None, "restore_last found no checkpoint"
+        assert int(jax.device_get(restored.step)) == int(
+            jax.device_get(state.step))
+        restored = place_state(restored, mesh, fsdp=True)
+
         @jax.jit
         def checksum(tree):
             leaves = jax.tree_util.tree_leaves(tree)
@@ -97,10 +115,12 @@ def main() -> None:
                        for x in leaves)
 
         param_sum = float(checksum(state.params))
+        restored_param_sum = float(checksum(restored.params))
 
     result = {"pid": pid, "process_count": jax.process_count(),
               "losses": losses, "accs": accs, "eval_loss": eval_loss,
-              "param_sum": param_sum}
+              "param_sum": param_sum,
+              "restored_param_sum": restored_param_sum}
     with open(f"{out}.{pid}", "w") as f:
         json.dump(result, f)
     print(f"worker {pid} done: {result}", flush=True)

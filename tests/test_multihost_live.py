@@ -123,6 +123,11 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=0, atol=1e-6)
     np.testing.assert_allclose(results[0]["param_sum"],
                                results[1]["param_sum"], rtol=1e-6)
+    # checkpoint round-trip of cross-process FSDP-sharded state: the
+    # restored params carry the same checksum on both processes
+    for r in results:
+        np.testing.assert_allclose(r["restored_param_sum"], r["param_sum"],
+                                   rtol=1e-6)
 
     ref = _single_process_reference()
     # same global batch SET per step (host-interleaved row order), same
