@@ -77,17 +77,19 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=None):
     number; the corpus is synthetic-on-disk (no dataset in this image).
 
     CAVEAT (this image): the single-core host and the ~50 MB/s remote-TPU
-    tunnel bound this number, not the framework — the 91 MB bf16 batch
-    alone is ~1.8 s of H2D.  Measured ~35 samples/s here vs 748
+    tunnel bound this number, not the framework — even with uint8 frame
+    shipping (frames 29 MB vs 58 MB bf16; spectrograms bf16) the ~46 MB
+    batch is ~1 s of H2D.  Measured ~35 samples/s here vs ~750
     compute-only; on a real TPU host (local PCIe, dozens of cores) the
-    loader path scales with `loader_workers` (stateless per-sample rng,
-    GIL-releasing native decode)."""
+    loader path scales with workers (stateless per-sample rng,
+    GIL-releasing native decode) — see ROADMAP's worker curve."""
     import shutil
     import tempfile
 
     from multimodal_clinical_tpu.benchmarks import cremad
-    from multimodal_clinical_tpu.engine.run import build_loaders
-    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.run import (
+        build_loaders, init_state_on_mesh,
+    )
     from multimodal_clinical_tpu.engine.steps import make_train_step
     from multimodal_clinical_tpu.parallel.mesh import make_mesh
 
@@ -110,11 +112,9 @@ def bench_cremad_e2e(batch=64, steps=16, warmup=4, workers=None):
         mesh = make_mesh()
         spec, _ = cremad.get_model_spec(args, n_train=len(data.train))
         train_loader, _, _ = build_loaders(args, data, mesh)
-        sample = data.train.gather(np.arange(2))
-        state = create_train_state(
-            spec, args, jax.random.PRNGKey(0),
-            [jnp.asarray(sample["x1"]), jnp.asarray(sample["x2"])],
-            steps_per_epoch=max(1, len(data.train) // batch))
+        # init via the production path: the sample maps through
+        # device_preprocess (uint8 frames -> normalized float)
+        state = init_state_on_mesh(spec, args, data, mesh)
         train_step = make_train_step(spec)
 
         done = 0

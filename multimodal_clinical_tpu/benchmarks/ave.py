@@ -83,13 +83,17 @@ def get_data(args) -> DataBundle:
 
 
 def device_preprocess(batch, rng, train: bool):
-    """Train-time SpecAugment on the audio spectrogram, fused on device
-    (ave/get_data.py:148-155 equivalent)."""
+    """uint8 frame normalization (both modes — AveDiskDataset inherits the
+    Crema-D uint8 shipping) + train-time SpecAugment on the audio
+    spectrogram, fused on device (ave/get_data.py:148-155 equivalent)."""
+    from ..data.imageops import normalize_frames_device
+
+    batch = dict(batch)
+    batch["x2"] = normalize_frames_device(batch["x2"])
     if not train:
         return batch
     from ..ops.specaugment import spec_augment
 
-    batch = dict(batch)
     # reduced masking params per ave/get_data.py:148-155
     batch["x1"] = spec_augment(rng, batch["x1"], freq_mask_param=15,
                                time_mask_param=60, num_freq_masks=1,

@@ -132,7 +132,7 @@ class VGGSoundDiskDataset:
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         from ..data.core import sample_rng
-        from ..data.imageops import load_frame_eval, load_frame_train
+        from ..data.imageops import load_frame_eval_u8, load_frame_train_u8
 
         waves, frames, labels = [], [], []
         for i in indices:
@@ -161,11 +161,12 @@ class VGGSoundDiskDataset:
             for p in picks:
                 fpath = os.path.join(frame_dir, names[int(p)])
                 # reference transforms (get_data.py:131-143): train
-                # RandomResizedCrop+flip, eval Resize; ImageNet normalize
+                # RandomResizedCrop+flip, eval Resize — shipped uint8;
+                # ImageNet normalize runs on device (device_preprocess)
                 if self.train:
-                    fs.append(load_frame_train(fpath, rng))
+                    fs.append(load_frame_train_u8(fpath, rng))
                 else:
-                    fs.append(load_frame_eval(fpath))
+                    fs.append(load_frame_eval_u8(fpath))
             frames.append(np.stack(fs))
             labels.append(label)
         return {
@@ -265,9 +266,14 @@ def device_preprocess(batch, rng, train: bool):
     from ..ops.spectrogram import log_spectrogram
     from ..ops.specaugment import spec_augment
 
+    from ..data.imageops import normalize_frames_device
+
+    batch = dict(batch)
+    # uint8-shipped frames -> normalized float on device (float = synthetic
+    # twin or bench fixture: pass-through)
+    batch["x2"] = normalize_frames_device(batch["x2"])
     if "x1_waveform" not in batch:
         return batch
-    batch = dict(batch)
     wave = batch.pop("x1_waveform")
     if jax.default_backend() == "tpu":
         spec2d = pallas_log_spectrogram(wave, n_fft=256, hop=128)

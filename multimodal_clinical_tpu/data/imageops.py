@@ -60,14 +60,38 @@ def _normalize(img01: np.ndarray) -> np.ndarray:
     return ((img01 - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
 
 
+def _quantize_u8(img01: np.ndarray) -> np.ndarray:
+    """Float [0,1] -> uint8, PIL-faithful: the reference's torchvision
+    pipeline reads a uint8 PIL image into ToTensor, so post-resize data IS
+    8-bit.  The native decoder's antialiased resample keeps float precision
+    internally; rounding here makes the native and PIL paths agree on the
+    wire format."""
+    return np.clip(np.rint(img01 * 255.0), 0, 255).astype(np.uint8)
+
+
+def normalize_frames_device(frames):
+    """On-device ToTensor+Normalize for uint8-shipped frames (jnp in/out):
+    uint8 (..., 3) -> float32 ImageNet-normalized.  Shipping uint8 is 2x
+    fewer H2D bytes than bf16 and 4x fewer than fp32 — on this image's
+    ~50 MB/s TPU tunnel that is the e2e bottleneck.  A float input passes
+    through unchanged (synthetic twins / legacy float adapters)."""
+    import jax.numpy as jnp
+
+    if frames.dtype != jnp.uint8:
+        return frames
+    x = frames.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
 def _pil_open(path: str):
     from PIL import Image
 
     return Image.open(path).convert("RGB")
 
 
-def load_frame_eval(path: str, size: int = 224) -> np.ndarray:
-    """Resize((size, size)) + normalize — deterministic eval transform.
+def load_frame_eval_u8(path: str, size: int = 224) -> np.ndarray:
+    """Resize((size, size)) -> uint8 RGB — deterministic eval transform,
+    pre-normalization (ship this; normalize on device).
 
     Uses the native libjpeg decode-with-resize (DCT-domain downscale) when
     built; PIL bilinear otherwise.
@@ -78,17 +102,24 @@ def load_frame_eval(path: str, size: int = 224) -> np.ndarray:
         decoded = native.decode_jpeg(path, size, size)
     except Exception:
         decoded = None
-    if decoded is None:
-        from PIL import Image
+    if decoded is not None:
+        return _quantize_u8(decoded)
+    from PIL import Image
 
-        img = _pil_open(path).resize((size, size), Image.BILINEAR)
-        decoded = np.asarray(img, np.float32) / 255.0
-    return _normalize(decoded)
+    img = _pil_open(path).resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.uint8)
 
 
-def load_frame_train(path: str, rng: np.random.Generator,
-                     size: int = 224) -> np.ndarray:
-    """RandomResizedCrop(size) + horizontal flip (p=0.5) + normalize.
+def load_frame_eval(path: str, size: int = 224) -> np.ndarray:
+    """load_frame_eval_u8 + host-side ToTensor/Normalize (float output)."""
+    return _normalize(load_frame_eval_u8(path, size).astype(np.float32)
+                      / 255.0)
+
+
+def load_frame_train_u8(path: str, rng: np.random.Generator,
+                        size: int = 224) -> np.ndarray:
+    """RandomResizedCrop(size) + horizontal flip (p=0.5) -> uint8 RGB,
+    pre-normalization.
 
     Decode prefers the native crop-path (one file read shared between the
     header dims probe and libjpeg decode_jpeg_crop_resize — GIL-free, so
@@ -111,14 +142,23 @@ def load_frame_train(path: str, rng: np.random.Generator,
         height, width = dims
         box = random_resized_crop_box(rng, width, height)
         out = native.decode_jpeg_crop(data, box, size, size)
-    if out is None:
+    if out is not None:
+        out = _quantize_u8(out)
+    else:
         from PIL import Image
 
         img = _pil_open(path)
         if box is None:  # dims probe failed: draw against PIL's dims
             box = random_resized_crop_box(rng, img.width, img.height)
         img = img.resize((size, size), Image.BILINEAR, box=box)
-        out = np.asarray(img, np.float32) / 255.0
+        out = np.asarray(img, np.uint8)
     if rng.random() < 0.5:
         out = out[:, ::-1]
-    return _normalize(out)
+    return out
+
+
+def load_frame_train(path: str, rng: np.random.Generator,
+                     size: int = 224) -> np.ndarray:
+    """load_frame_train_u8 + host-side ToTensor/Normalize (float output)."""
+    return _normalize(load_frame_train_u8(path, rng, size)
+                      .astype(np.float32) / 255.0)

@@ -130,6 +130,14 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
     from .metrics import EpochAccumulator
     from .run import DataBundle, _make_sampler
 
+    if jax.process_count() > 1:
+        # the vmapped sweep replicates each seed's full batch on the local
+        # host (Loader runs mesh-less); per-host strided input sharding
+        # would feed different rows to each process's copy of a seed.
+        # Refuse loudly — multi-host wants one seed per job instead.
+        raise NotImplementedError(
+            "num_seeds>1 is a single-process sweep (vmap over seeds); "
+            "run one seed per process under jax.distributed")
     if getattr(args, "overfit_batches", 0):
         # the vmapped sweep trains per-seed data orders in one program;
         # pinning "the first k batches" is seed-ambiguous here.  Refuse
@@ -144,8 +152,9 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
     bs = int(args.batch_size)
     steps_per_epoch = max(1, -(-len(data.train) // bs))
 
-    sample = data.train.gather(np.arange(min(2, len(data.train))))
-    sample_inputs = [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+    from .run import sample_inputs_for_init
+
+    sample_inputs = sample_inputs_for_init(spec, data)
     state = create_multiseed_state(spec, args, sample_inputs, steps_per_epoch,
                                    seeds, opt_kwargs)
 

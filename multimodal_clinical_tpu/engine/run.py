@@ -100,10 +100,26 @@ def build_loaders(args, data: DataBundle, mesh) -> Tuple[Loader, Loader, Loader]
     )
 
 
+def sample_inputs_for_init(spec: ModelSpec, data: DataBundle):
+    """First train rows mapped through ``spec.device_preprocess`` (eval
+    mode): ``module.init`` must see POST-preprocess geometry/dtype — the
+    vggsound adapter ships raw waveforms that become the (129, 626, 1)
+    spectrogram on device, and uint8-shipped frames become normalized
+    floats.  Returns host arrays ordered x1..xM."""
+    import jax.numpy as jnp
+
+    sample = data.train.gather(np.arange(min(2, len(data.train))))
+    if spec.device_preprocess is not None:
+        dev = spec.device_preprocess(
+            {k: jnp.asarray(v) for k, v in sample.items()},
+            jax.random.PRNGKey(0), False)
+        sample = {k: np.asarray(v) for k, v in dev.items()}
+    return [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+
+
 def init_state_on_mesh(spec: ModelSpec, args, data: DataBundle, mesh,
                        opt_kwargs: Optional[Dict] = None):
-    sample = data.train.gather(np.arange(min(2, len(data.train))))
-    sample_inputs = [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+    sample_inputs = sample_inputs_for_init(spec, data)
     steps_per_epoch = max(1, -(-len(data.train) // int(args.batch_size)))
     rng = jax.random.PRNGKey(int(getattr(args, "seed", 0)))
     state = create_train_state(spec, args, rng, sample_inputs, steps_per_epoch,

@@ -72,8 +72,50 @@ def test_vggsound_shared_class_map_across_splits(tmp_path):
     batch = bundle.train.gather(np.array([0, 1]))
     assert batch["x1_waveform"].shape == (2, 80000)
     assert batch["x2"].shape == (2, 2, 224, 224, 3)
-    # ImageNet normalization applied (values not confined to [0, 1])
-    assert batch["x2"].min() < -0.5
+    # frames ship as pre-normalization uint8 (ToTensor+Normalize runs on
+    # device via device_preprocess — half the H2D bytes of bf16)
+    assert batch["x2"].dtype == np.uint8
+
+
+def test_vggsound_real_layout_init_and_train_step(tmp_path):
+    """REGRESSION: the real vggsound adapter ships raw waveforms
+    (x1_waveform — no x1 key), so state init must map the sample batch
+    through spec.device_preprocess before indexing x1..xM; indexing the
+    raw gather crashed `--dir vggsound` on real data while the synthetic
+    twin (which ships a ready spectrogram) passed."""
+    from multimodal_clinical_tpu.benchmarks import vggsound
+    from multimodal_clinical_tpu.engine.run import (
+        build_loaders, init_state_on_mesh,
+    )
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+    d = tmp_path
+    rows = [(f"vid{i}", "0", "dog" if i % 2 else "cat", "train")
+            for i in range(4)] + [("vidT", "0", "cat", "test")]
+    with open(d / "vggsound.csv", "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    os.makedirs(d / "audio")
+    for clip, start, _, _ in rows:
+        _write_wav(d / "audio" / f"{clip}_{start.zfill(6)}.wav")
+        _write_frames(str(d / "frames" / f"{clip}_{start.zfill(6)}"), 3)
+
+    args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,
+                           use_video_frames=2, model_type="jprobas",
+                           batch_size=8, learning_rate=1e-3, num_epochs=1,
+                           use_scheduler=False, mesh_shape=None,
+                           compute_dtype="bfloat16")
+    bundle = vggsound.get_data(args)
+    assert not bundle.synthetic
+    mesh = make_mesh()
+    spec, opt_kwargs = vggsound.get_model_spec(args, n_train=len(bundle.train))
+    state = init_state_on_mesh(spec, args, bundle, mesh, opt_kwargs)
+    train_loader, _, _ = build_loaders(args, bundle, mesh)
+    train_loader.set_epoch(0)
+    step = make_train_step(spec)
+    with mesh:
+        state, metrics = step(state, next(iter(train_loader)))
+    assert np.isfinite(float(metrics["train_loss"]))
 
 
 def test_ave_loads_six_distinct_frames(tmp_path):
