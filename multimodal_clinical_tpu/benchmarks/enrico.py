@@ -44,16 +44,20 @@ IGNORES = {"50105", "50109"}
 
 
 def _decode_image(path: str, size=(256, 128)) -> np.ndarray:
-    """Exact-resize decode to (H, W, 3) float32 in [0, 1] — the reference's
-    transforms.Resize((256, 128)) + ToTensor.  JPEGs go through the native
-    libjpeg path (DCT-domain downscale + bilinear) when built; PNGs (the
-    wireframes) and fallback use PIL."""
+    """Exact-resize decode to (H, W, 3) uint8 — the post-resize stage of
+    the reference's transforms.Resize((256, 128)); ToTensor's /255 runs on
+    device (device_preprocess), so the in-memory dataset and the H2D
+    transfer are 4x smaller than float32 (~0.28 GB vs ~1.1 GB for the full
+    corpus — this VM faults memory lazily, so bytes are time).  JPEGs go
+    through the native libjpeg path (DCT-domain downscale + bilinear) when
+    built; PNGs (the wireframes) and fallback use PIL."""
     if path.endswith((".jpg", ".jpeg")):
+        from ..data.imageops import _quantize_u8
         from ..utils.native import decode_jpeg
 
         out = decode_jpeg(path, size[0], size[1])
         if out is not None:
-            return out
+            return _quantize_u8(out)
     from PIL import Image
 
     # BILINEAR: torchvision Resize default (the reference's transform);
@@ -61,7 +65,7 @@ def _decode_image(path: str, size=(256, 128)) -> np.ndarray:
     # and the native decode path
     img = Image.open(path).convert("RGB").resize((size[1], size[0]),
                                                  resample=Image.BILINEAR)
-    return (np.asarray(img, np.float32) / 255.0)  # (H, W, 3) in [0,1]
+    return np.asarray(img, np.uint8)  # (H, W, 3)
 
 
 def _load_real(data_dir: str, seed42: int = 42):
@@ -204,4 +208,20 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                          sched_step_size=70, sched_gamma=0.5)
     else:
         raise NotImplementedError(f"enrico model_type {model_type!r}")
+    import dataclasses
+
+    spec = dataclasses.replace(spec, device_preprocess=device_preprocess)
     return spec, {}
+
+
+def device_preprocess(batch, rng, train: bool):
+    """uint8-shipped screenshots/wireframes -> float32 in [0, 1] on device
+    (the ToTensor stage of the reference transform — enrico applies no
+    ImageNet normalization, enrico/get_data.py:94-103).  Float inputs (the
+    synthetic twin) pass through unchanged."""
+    from ..data.imageops import to_unit_floats_device
+
+    batch = dict(batch)
+    batch["x1"] = to_unit_floats_device(batch["x1"])
+    batch["x2"] = to_unit_floats_device(batch["x2"])
+    return batch

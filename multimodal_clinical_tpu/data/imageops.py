@@ -83,6 +83,17 @@ def normalize_frames_device(frames):
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
+def to_unit_floats_device(x):
+    """On-device ToTensor for uint8-shipped images WITHOUT ImageNet
+    normalization (jnp in/out): uint8 -> float32 in [0, 1].  Float inputs
+    pass through unchanged (synthetic twins)."""
+    import jax.numpy as jnp
+
+    if x.dtype != jnp.uint8:
+        return x
+    return x.astype(jnp.float32) / 255.0
+
+
 def _pil_open(path: str):
     from PIL import Image
 

@@ -118,6 +118,51 @@ def test_vggsound_real_layout_init_and_train_step(tmp_path):
     assert np.isfinite(float(metrics["train_loss"]))
 
 
+def test_enrico_real_layout_u8_init_and_step(tmp_path):
+    """Real-layout enrico corpus: the eagerly-loaded dataset holds uint8
+    (4x less RAM/H2D than float32), the noise transforms operate on it,
+    and init + one train step run through device_preprocess's /255."""
+    from multimodal_clinical_tpu.benchmarks import enrico
+    from multimodal_clinical_tpu.engine.run import (
+        build_loaders, init_state_on_mesh,
+    )
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+    d = tmp_path
+    os.makedirs(d / "screenshots")
+    os.makedirs(d / "wireframes")
+    rng = np.random.default_rng(0)
+    with open(d / "design_topics.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["screen_id", "topic"])
+        for i in range(12):
+            sid = str(1000 + i)
+            w.writerow([sid, "news" if i % 2 else "chat"])
+            arr = rng.integers(0, 255, (300, 150, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / "screenshots" / f"{sid}.jpg")
+            Image.fromarray(arr[::-1]).save(d / "wireframes" / f"{sid}.png")
+
+    args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2,
+                           batch_size=8, learning_rate=1e-3, num_epochs=1,
+                           use_scheduler=False, mesh_shape=None,
+                           compute_dtype="bfloat16", model_type="ensemble",
+                           noise_p=0.3, label_noise_p=0.2)
+    bundle = enrico.get_data(args)
+    assert not bundle.synthetic
+    assert bundle.train.modalities[0].dtype == np.uint8
+    assert bundle.train.modalities[1].dtype == np.uint8
+    mesh = make_mesh()
+    spec, opt_kwargs = enrico.get_model_spec(args, n_train=len(bundle.train))
+    state = init_state_on_mesh(spec, args, bundle, mesh, opt_kwargs)
+    train_loader, _, _ = build_loaders(args, bundle, mesh)
+    train_loader.set_epoch(0)
+    step = make_train_step(spec)
+    with mesh:
+        state, metrics = step(state, next(iter(train_loader)))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
 def test_ave_loads_six_distinct_frames(tmp_path):
     from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
 
