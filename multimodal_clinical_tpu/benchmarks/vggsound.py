@@ -62,9 +62,12 @@ _VIDEO_EXTS = (".mp4", ".mov")
 
 def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
     """Clip audio at 16 kHz float mono: ``audio/<clip>.wav`` when the
-    offline wav extraction ran, else PCM streamed straight from
-    ``video/<clip>.mp4|.mov`` via the native demuxer (no ffmpeg stage —
-    utils/native.read_mp4_pcm_mono)."""
+    offline wav extraction ran, else streamed straight from
+    ``video/<clip>.mp4|.mov`` — PCM tracks via the native demuxer
+    (utils/native.read_mp4_pcm_mono), compressed tracks (AAC/Opus/...)
+    via the in-process libav module (utils/avdecode) — no ffmpeg stage
+    either way (the reference decodes per-sample with librosa from
+    pre-extracted wavs, vggsound/get_data.py:106-125)."""
     wav_path = os.path.join(data_dir, "audio", clip_id + ".wav")
     if os.path.exists(wav_path):
         return _read_wav(wav_path)
@@ -73,7 +76,14 @@ def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
     for ext in _VIDEO_EXTS:
         path = os.path.join(data_dir, "video", clip_id + ext)
         if os.path.exists(path):
-            audio, sr = read_mp4_pcm_mono(path)
+            try:
+                audio, sr = read_mp4_pcm_mono(path)
+            except ValueError:
+                from ..utils import avdecode
+
+                if not avdecode.available():
+                    raise
+                audio, sr = avdecode.read_audio_mono(path)
             return resample_linear(audio, sr, SR)
     raise FileNotFoundError(
         f"no audio for {clip_id}: neither audio/{clip_id}.wav nor "
@@ -83,9 +93,10 @@ def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
 def _mp4_streamable(data_dir: str) -> bool:
     """One-shot probe: can clips stream audio straight from the container?
     Checks the FIRST video/*.mp4|.mov (datasets are codec-homogeneous):
-    admitting compressed-audio mp4s would crash mid-epoch at gather time,
-    so clips without extracted wavs are only admitted when the probe says
-    the native PCM path works."""
+    admitting undecodable-audio mp4s would crash mid-epoch at gather
+    time, so clips without extracted wavs are only admitted when the
+    probe says the native PCM path works OR the libav module can decode
+    the codec (AAC/Opus/... — real VGGSound downloads are H.264/AAC)."""
     from ..utils.native import Mp4File, mp4_pcm_undecodable_reason
 
     video_dir = os.path.join(data_dir, "video")
@@ -94,18 +105,33 @@ def _mp4_streamable(data_dir: str) -> bool:
     for name in sorted(os.listdir(video_dir)):
         if not name.endswith(_VIDEO_EXTS):
             continue
+        path = os.path.join(video_dir, name)
         try:
-            with Mp4File(os.path.join(video_dir, name)) as m:
+            with Mp4File(path) as m:
                 audio = [t for t in m.tracks if t["handler"] == "soun"]
         except Exception:
-            return False
-        reason = (mp4_pcm_undecodable_reason(audio[0]) if audio
-                  else "no audio track")
-        if reason is not None:
-            print(f"[vggsound] video/{name}: {reason} — "
-                  "mp4-direct streaming disabled (extract wavs via "
-                  "tools/preprocess.py mp4-to-wav)")
-        return reason is None
+            audio = None  # non-BMFF container: let libav probe decide
+        if audio:
+            reason = mp4_pcm_undecodable_reason(audio[0])
+            if reason is None:
+                return True
+        elif audio is not None:
+            reason = "no audio track"
+        else:
+            reason = "container unreadable by the native demuxer"
+        from ..utils import avdecode
+
+        if avdecode.available():
+            info = avdecode.probe(path)
+            codec = info["audio_codec"] if info else None
+            if codec and avdecode.has_decoder(codec):
+                return True
+            reason = (f"audio codec {codec!r} has no libav decoder"
+                      if codec else reason)
+        print(f"[vggsound] video/{name}: {reason} — "
+              "mp4-direct streaming disabled (extract wavs via "
+              "tools/preprocess.py mp4-to-wav)")
+        return False
     return False
 
 

@@ -1,0 +1,224 @@
+"""libav decode module (native/av_decode.cpp + utils/avdecode.py).
+
+The reference decodes H.264/AAC with ffmpeg/OpenCV/moviepy
+(cremad/video_preprocessing.py:36-76, vggsound/mp4_to_wav.py:26-44);
+our equivalent is the in-process libav module.  Fixtures here are REAL
+H.264 (libx264) + AAC files synthesized by the module's own test
+encoder, so decode is verified against actual codecs: solid-color
+frames assert the video path (x264 at crf 18 keeps flat colors within
+a few counts), a pure sine asserts the audio path via its FFT peak.
+"""
+
+import os
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+from multimodal_clinical_tpu.utils import avdecode
+
+pytestmark = pytest.mark.skipif(
+    not avdecode.available(),
+    reason="libavdecode.so unavailable (no FFmpeg runtime on this host)")
+
+# 12 flat-color frames @ 4 fps (3 s) — distinct enough that a frame-index
+# mixup moves some channel mean by >> the codec tolerance
+COLORS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0),
+          (0, 255, 255), (255, 0, 255), (128, 64, 32), (32, 128, 64),
+          (64, 32, 128), (200, 200, 200), (30, 30, 30), (90, 180, 250)]
+FPS = 4
+SR = 16000
+TONE_HZ = 440
+
+
+def _frames() -> np.ndarray:
+    return np.stack([np.full((48, 64, 3), c, np.uint8) for c in COLORS])
+
+
+def _tone(seconds: float = 2.0) -> np.ndarray:
+    t = np.arange(int(SR * seconds), dtype=np.float32) / SR
+    return (0.5 * np.sin(2 * np.pi * TONE_HZ * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def fixture_mp4(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("av") / "clip.mp4")
+    avdecode.encode_mp4(path, _frames(), FPS, _tone(), SR)
+    return path
+
+
+def _assert_color(frame: np.ndarray, color, tol: float = 14.0, ctx=None):
+    err = np.abs(frame.astype(int).mean(axis=(0, 1)) - np.array(color)).max()
+    assert err < tol, (ctx, frame.mean(axis=(0, 1)), color)
+
+
+def test_probe_reports_h264_aac(fixture_mp4):
+    info = avdecode.probe(fixture_mp4)
+    assert info["video_codec"] == "h264"
+    assert info["audio_codec"] == "aac"
+    assert (info["width"], info["height"]) == (64, 48)
+    assert info["sample_rate"] == SR
+    assert abs(info["duration"] - 3.0) < 0.1
+    assert abs(info["fps"] - FPS) < 0.01
+
+
+def test_h264_frame_roundtrip(fixture_mp4):
+    frames = list(avdecode.iter_frames(fixture_mp4))
+    assert len(frames) == len(COLORS)
+    for i, (frame, pts) in enumerate(frames):
+        assert frame.shape == (48, 64, 3)
+        assert abs(pts - i / FPS) < 1e-6
+        _assert_color(frame, COLORS[i], ctx=i)
+
+
+def test_iter_frames_swscale_resize(fixture_mp4):
+    frames = list(avdecode.iter_frames(fixture_mp4, size=(32, 24)))
+    assert frames[0][0].shape == (24, 32, 3)
+    _assert_color(frames[3][0], COLORS[3])
+
+
+def test_aac_audio_roundtrip(fixture_mp4):
+    audio, sr = avdecode.read_audio_mono(fixture_mp4, SR)
+    assert sr == SR
+    # AAC pads the final partial frame with <1024 trailing samples; the
+    # priming delay is trimmed via the container's skip side data
+    assert len(_tone()) <= len(audio) <= len(_tone()) + 1024
+    spec = np.abs(np.fft.rfft(audio[:SR]))
+    assert abs(np.argmax(spec) - TONE_HZ) <= 2
+    assert 0.3 < float(np.sqrt((audio[:len(_tone())] ** 2).mean())) < 0.4
+
+
+def test_audio_native_rate_and_resample():
+    # 22050 Hz source decoded at native rate, then at a forced 16 kHz
+    sr_in = 22050
+    t = np.arange(sr_in, dtype=np.float32) / sr_in
+    tone = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "a.mp4")
+        avdecode.encode_mp4(path, None, FPS, tone, sr_in)
+        a0, sr0 = avdecode.read_audio_mono(path)
+        assert sr0 == sr_in
+        a1, sr1 = avdecode.read_audio_mono(path, 16000)
+        assert sr1 == 16000
+        spec = np.abs(np.fft.rfft(a1[:16000]))
+        assert abs(np.argmax(spec) - 300) <= 2
+
+
+def test_fps_tick_grid_nearest_preceding(fixture_mp4):
+    # 1-fps grid over a 3 s / 4 fps clip -> ticks 0,1,2; the nearest
+    # preceding source frames are 0, 4, 8 (same rule as the MJPEG path
+    # in tools/preprocess.py and ffmpeg's fps filter)
+    out = list(avdecode.decode_frames_at_fps(fixture_mp4, 1.0))
+    assert [t for _, t in out] == [0.0, 1.0, 2.0]
+    for frame, tick in out:
+        _assert_color(frame, COLORS[int(tick * FPS)], ctx=tick)
+
+
+def test_fps_tick_grid_segment(fixture_mp4):
+    # segment [0.5, 2.0) at 1 fps -> ticks 0.5, 1.5 -> source frames 2, 6
+    out = list(avdecode.decode_frames_at_fps(fixture_mp4, 1.0,
+                                             start=0.5, end=2.0))
+    assert [t for _, t in out] == [0.5, 1.5]
+    _assert_color(out[0][0], COLORS[2], ctx="tick 0.5")
+    _assert_color(out[1][0], COLORS[6], ctx="tick 1.5")
+
+
+def test_read_audio_missing_file_raises():
+    with pytest.raises(ValueError):
+        avdecode.read_audio_mono("/nonexistent/clip.mp4")
+
+
+def test_has_decoder_census_mapping():
+    assert avdecode.has_decoder("h264")
+    assert avdecode.has_decoder("aac")
+    assert avdecode.can_decode_fourcc("avc1")
+    assert avdecode.can_decode_fourcc("mp4a")
+    assert not avdecode.can_decode_fourcc("zzzz")
+
+
+# ---------------------------------------------------------------------------
+# Integration: preprocessing CLI on real-codec files (the L0 gap the
+# MJPEG-only demuxer could not cover)
+# ---------------------------------------------------------------------------
+
+
+def _run_preprocess(*args):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "preprocess.py"),
+         *args],
+        capture_output=True, text=True, timeout=300)
+
+
+def test_preprocess_video_frames_libav(tmp_path):
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), _frames(), FPS, _tone(), SR)
+    out = tmp_path / "frames"
+    r = _run_preprocess("video-frames", "--video-dir", str(vdir),
+                        "--out", str(out), "--fps", "1",
+                        "--min-frames", "5", "--backend", "libav")
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(out / "clip"))
+    # 3 grid frames + min-frames padding to 5 (video_preprocessing.py's
+    # minimum-count guarantee)
+    assert files == [f"frame_{i:05d}.jpg" for i in range(1, 6)]
+    from PIL import Image
+
+    img = np.asarray(Image.open(out / "clip" / "frame_00002.jpg"))
+    _assert_color(img, COLORS[4], tol=16.0, ctx="tick 1.0")  # jpeg re-encode
+
+
+def test_preprocess_mp4_to_wav_libav(tmp_path):
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), None, FPS, _tone(), SR)
+    out = tmp_path / "wav"
+    r = _run_preprocess("mp4-to-wav", "--video-dir", str(vdir),
+                        "--out", str(out), "--backend", "libav")
+    assert r.returncode == 0, r.stderr
+    with wave.open(str(out / "clip.wav"), "rb") as w:
+        assert w.getnchannels() == 1
+        assert w.getframerate() == SR
+        pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    spec = np.abs(np.fft.rfft(pcm[:SR].astype(np.float32)))
+    assert abs(np.argmax(spec) - TONE_HZ) <= 2
+
+
+def test_preprocess_census_reports_libav_ok(tmp_path, capsys):
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), _frames(), FPS, _tone(), SR)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import preprocess as pp
+
+    pp._print_census(str(vdir), (".mp4",), "video", "libav")
+    pp._print_census(str(vdir), (".mp4",), "audio", "libav")
+    out = capsys.readouterr().out
+    assert out.count("libav-ok") == 2
+    assert "needs ffmpeg" not in out
+
+
+# ---------------------------------------------------------------------------
+# Integration: vggsound mp4-direct streaming over AAC audio
+# ---------------------------------------------------------------------------
+
+
+def test_vggsound_streams_aac_mp4(tmp_path):
+    from multimodal_clinical_tpu.benchmarks import vggsound as vg
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clipA_000001.mp4"), None, FPS,
+                        _tone(), SR)
+    assert vg._mp4_streamable(str(tmp_path))
+    audio = vg._read_audio(str(tmp_path), "clipA_000001")
+    assert audio.dtype == np.float32
+    assert len(_tone()) <= len(audio) <= len(_tone()) + 1024
+    spec = np.abs(np.fft.rfft(audio[:SR]))
+    assert abs(np.argmax(spec) - TONE_HZ) <= 2

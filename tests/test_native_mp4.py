@@ -339,12 +339,17 @@ def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
     assert np.abs(batch["x1_waveform"]).max() <= 1.0
 
 
-def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys):
-    """A corpus whose mp4 audio is not PCM must NOT be admitted via the
-    mp4 path (it would crash at gather time) — with zero admitted clips
-    the adapter raises an actionable FileNotFoundError."""
+def test_vggsound_adapter_rejects_compressed_audio(tmp_path, capsys,
+                                                   monkeypatch):
+    """Without the libav module, a corpus whose mp4 audio is not PCM must
+    NOT be admitted via the mp4 path (it would crash at gather time) —
+    with zero admitted clips the adapter raises an actionable
+    FileNotFoundError.  (With libav present the same corpus IS admitted:
+    tests/test_avdecode.py::test_vggsound_streams_aac_mp4.)"""
     from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
+    from multimodal_clinical_tpu.utils import avdecode
 
+    monkeypatch.setattr(avdecode, "_load", lambda: None)
     os.makedirs(tmp_path / "video")
     path = str(tmp_path / "video" / "vid000_000000.mp4")
     write_mp4(path, [_jpeg(0)], 1.0,

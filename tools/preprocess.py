@@ -8,11 +8,13 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
                   librosa/scipy host loop)
   video-frames    mp4 -> JPEG frames at a fixed FPS with a minimum count
                   (cremad/ave/vggsound video_preprocessing.py).  Backends:
-                  ffmpeg when on PATH, else the native ISO-BMFF demuxer
-                  (native/mp4_demux.cpp — MJPEG samples written verbatim;
-                  H.264 etc. still need ffmpeg)
+                  ffmpeg when on PATH, else libav (native/libavdecode.so —
+                  in-process FFmpeg libraries: H.264/HEVC/VP9/...), else
+                  the native ISO-BMFF demuxer (native/mp4_demux.cpp —
+                  MJPEG samples written verbatim)
   mp4-to-wav      mp4 -> 16 kHz mono wav (ave/vggsound mp4_to_wav.py).
-                  Same backends (native path extracts PCM tracks)
+                  Same backend chain (libav: AAC/MP3/Opus/...; native
+                  path extracts PCM tracks)
   food101-tokens  image+text -> SigLIP input_ids / pixel_values .npy pairs
                   (food101/extract_token.py:45-69; HF tokenizer gated,
                   pixel path always available via PIL)
@@ -20,8 +22,8 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
                   train/test per the csv (make_train_test_split.py, stdlib
                   tarfile/gzip)
   codec-census    aggregate per-codec file counts for a video dir with a
-                  native-decodable verdict (run BEFORE a big download:
-                  H.264/AAC needs ffmpeg — docs/DATASETS.md matrix)
+                  decodability verdict per backend (run BEFORE a big
+                  download — docs/DATASETS.md matrix)
   check-frames    report clip dirs with fewer than N frames
                   (vggsound/check_frames.py:4-22)
   fix-missing     reconcile a csv list against extracted files
@@ -57,12 +59,18 @@ TARGET_SR = 16000
 
 
 def _pick_backend(requested: str) -> str:
-    """'ffmpeg' when on PATH, else the native ISO-BMFF demuxer
-    (native/mp4_demux.cpp: MJPEG video + PCM audio; compressed codecs
-    still need ffmpeg and fail with a codec-naming error)."""
+    """Backend chain: 'ffmpeg' when a binary is on PATH, else 'libav'
+    when native/libavdecode.so loads (the FFmpeg *libraries* in-process —
+    H.264/HEVC/VP9/AAC/MP3/Opus etc., utils/avdecode.py), else the
+    zero-dependency ISO-BMFF demuxer (native/mp4_demux.cpp: MJPEG video +
+    PCM audio only, fails with a codec-naming error otherwise)."""
     if requested != "auto":
         return requested
-    return "ffmpeg" if shutil.which("ffmpeg") is not None else "native"
+    if shutil.which("ffmpeg") is not None:
+        return "ffmpeg"
+    from multimodal_clinical_tpu.utils import avdecode
+
+    return "libav" if avdecode.available() else "native"
 
 
 _JPEG_CODECS = {"jpeg", "mjpa", "mjpb", "MJPG", "mjpg"}
@@ -105,20 +113,29 @@ def _print_census(video_dir: str, exts, need: str, backend: str) -> None:
         census, unreadable, total = _codec_census(video_dir, exts)
     except Exception:
         return
+    from multimodal_clinical_tpu.utils import avdecode
+
+    libav = avdecode.available()
     print(f"[census] {total} files probed in {video_dir}"
           + (f" ({unreadable} not ISO-BMFF/unreadable)" if unreadable else ""))
-    ffmpeg_needed = unreadable
+    unsupported = unreadable if not libav else 0
     for (v, a), n in sorted(census.items(), key=lambda kv: -kv[1]):
-        ok = (v in _JPEG_CODECS if need == "video"
-              else a in native_lib.PCM_MP4_CODECS)
-        if not ok:
-            ffmpeg_needed += n
-        print(f"[census]   video={v!r} audio={a!r}: {n} "
-              f"({'native-ok' if ok else 'needs ffmpeg'})")
-    if ffmpeg_needed and backend == "native":
-        print(f"[census] WARNING: {ffmpeg_needed}/{total} files need ffmpeg "
-              f"for {need} extraction and the native backend is selected — "
-              "they will fail (supported-codec matrix: docs/DATASETS.md)")
+        codec = v if need == "video" else a
+        native_ok = (v in _JPEG_CODECS if need == "video"
+                     else a in native_lib.PCM_MP4_CODECS)
+        libav_ok = libav and avdecode.can_decode_fourcc(codec)
+        if native_ok:
+            verdict = "native-ok"
+        elif libav_ok:
+            verdict = "libav-ok"
+        else:
+            verdict = "needs ffmpeg"
+            unsupported += n
+        print(f"[census]   video={v!r} audio={a!r}: {n} ({verdict})")
+    if unsupported and backend in ("native", "libav"):
+        print(f"[census] WARNING: {unsupported}/{total} files need ffmpeg "
+              f"for {need} extraction and the {backend} backend is selected "
+              "— they will fail (supported-codec matrix: docs/DATASETS.md)")
 
 
 def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
@@ -162,6 +179,47 @@ def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
                 f.write(m.read_sample(t, i))
             tick = start + n_out / fps
         return n_out
+
+
+def _libav_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
+    """Any-codec frame extraction via native/libavdecode.so (H.264/HEVC/
+    VP9/... — the codecs the reference decodes through OpenCV/ffmpeg,
+    cremad/video_preprocessing.py:36-76).  Same fps tick grid as the
+    MJPEG path; frames are decoded to RGB and saved as JPEG via PIL
+    (ffmpeg's -q:v 2 is roughly quality 93)."""
+    from PIL import Image
+
+    from multimodal_clinical_tpu.utils import avdecode
+
+    start = seg[0] if seg else 0.0
+    end = seg[1] if seg else None
+    n_out = 0
+    for frame, _tick in avdecode.decode_frames_at_fps(
+            src, fps, start=start, end=end):
+        n_out += 1
+        Image.fromarray(frame).save(
+            os.path.join(out_dir, f"frame_{n_out:05d}.jpg"), quality=93)
+    return n_out
+
+
+def _libav_mp4_to_wav(src: str, dst: str, seg) -> None:
+    """Any-codec audio extraction -> mono 16 kHz wav via libavdecode
+    (AAC/MP3/Opus/... — the reference's ffmpeg call,
+    vggsound/mp4_to_wav.py:26-44).  swresample does mixdown + rate
+    conversion in-process."""
+    from multimodal_clinical_tpu.utils import avdecode
+
+    data, sr = avdecode.read_audio_mono(src, TARGET_SR)
+    if seg:
+        i0 = int(max(seg[0], 0) * sr)
+        i1 = int(seg[1] * sr)
+        data = data[i0:i1]
+    pcm = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+    with wave.open(dst, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(TARGET_SR)
+        w.writeframes(pcm.tobytes())
 
 
 def _native_mp4_to_wav(src: str, dst: str, seg) -> None:
@@ -280,9 +338,12 @@ def cmd_video_frames(args):
         out_dir = os.path.join(args.out, clip)
         os.makedirs(out_dir, exist_ok=True)
         src = os.path.join(args.video_dir, name)
-        if backend == "native":
+        if backend in ("native", "libav"):
             seg = segments.get(clip)
-            _native_video_frames(src, out_dir, args.fps, seg)
+            if backend == "native":
+                _native_video_frames(src, out_dir, args.fps, seg)
+            else:
+                _libav_video_frames(src, out_dir, args.fps, seg)
             frames = sorted(os.listdir(out_dir))
             while 0 < len(frames) < args.min_frames:
                 shutil.copy(os.path.join(out_dir, frames[-1]),
@@ -323,6 +384,10 @@ def cmd_mp4_to_wav(args):
         if backend == "native":
             _native_mp4_to_wav(src, os.path.join(args.out, clip + ".wav"),
                                segments.get(clip))
+            continue
+        if backend == "libav":
+            _libav_mp4_to_wav(src, os.path.join(args.out, clip + ".wav"),
+                              segments.get(clip))
             continue
         seg = []
         if clip in segments:
@@ -585,10 +650,12 @@ def main(argv=None):
     s.add_argument("--segments", default=None,
                    help="clip,start,end csv for segment-aware extraction "
                         "(AVE SE pipeline)")
-    s.add_argument("--backend", choices=("auto", "ffmpeg", "native"),
+    s.add_argument("--backend",
+                   choices=("auto", "ffmpeg", "libav", "native"),
                    default="auto",
-                   help="auto: ffmpeg when on PATH, else the native "
-                        "demuxer (MJPEG only)")
+                   help="auto: ffmpeg when on PATH, else libav "
+                        "(in-process FFmpeg libraries: H.264/HEVC/VP9/"
+                        "...), else the native demuxer (MJPEG only)")
     s.set_defaults(fn=cmd_video_frames)
 
     s = sub.add_parser("mp4-to-wav")
@@ -596,7 +663,8 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--segments", default=None,
                    help="clip,start,end csv (AVE extractWav_SE)")
-    s.add_argument("--backend", choices=("auto", "ffmpeg", "native"),
+    s.add_argument("--backend",
+                   choices=("auto", "ffmpeg", "libav", "native"),
                    default="auto",
                    help="auto: ffmpeg when on PATH, else the native "
                         "demuxer (PCM only)")
@@ -629,8 +697,9 @@ def main(argv=None):
     s.add_argument("--video-dir", required=True)
     s.set_defaults(fn=lambda a: (
         _print_census(a.video_dir, (".mp4", ".mov", ".flv", ".avi"),
-                      "video", "native"),
-        _print_census(a.video_dir, (".mp4", ".mov"), "audio", "native"),
+                      "video", _pick_backend("auto")),
+        _print_census(a.video_dir, (".mp4", ".mov"), "audio",
+                      _pick_backend("auto")),
     ))
 
     s = sub.add_parser("check-frames")
