@@ -135,6 +135,40 @@ def _mp4_streamable(data_dir: str) -> bool:
     return False
 
 
+#: tick grid for mp4-direct frame streaming — the same 1 FPS grid
+#: tools/preprocess.py video-frames extracts at (reference
+#: vggsound/video_preprocessing.py dumps 1 frame/sec too)
+FRAME_FPS = 1.0
+
+
+def _mp4_frames_streamable(data_dir: str) -> bool:
+    """One-shot probe: can clips WITHOUT an extracted frames/<clip>/ dir
+    stream video frames straight from the container?  True when the libav
+    module is present and the first video file's codec has a decoder
+    (datasets are codec-homogeneous).  Streaming decodes the whole clip
+    per sample, so a throughput note is printed — offline extraction
+    (tools/preprocess.py video-frames) stays the fast path."""
+    from ..utils import avdecode
+
+    video_dir = os.path.join(data_dir, "video")
+    if not os.path.isdir(video_dir) or not avdecode.available():
+        return False
+    for name in sorted(os.listdir(video_dir)):
+        if not name.endswith(_VIDEO_EXTS):
+            continue
+        info = avdecode.probe(os.path.join(video_dir, name))
+        codec = info["video_codec"] if info else None
+        if codec and avdecode.has_decoder(codec):
+            print(f"[vggsound] streaming video frames straight from "
+                  f"containers ({codec} via libav) for clips without an "
+                  "extracted frames/<clip>/ dir — decode-per-sample is "
+                  "slower than pre-extracted JPEGs; run tools/preprocess.py "
+                  "video-frames for full throughput")
+            return True
+        return False
+    return False
+
+
 class VGGSoundDiskDataset:
     """Host side: raw waveform crop + frame decode; DSP happens on device."""
 
@@ -178,21 +212,24 @@ class VGGSoundDiskDataset:
             waves.append(crop)
 
             frame_dir = os.path.join(self.data_dir, "frames", clip_id)
-            names = sorted(os.listdir(frame_dir))
-            # random frame choice in BOTH modes (vggsound/get_data.py:148-152)
-            picks = np.sort(rng.choice(
-                len(names), self.use_video_frames,
-                replace=len(names) < self.use_video_frames))
-            fs = []
-            for p in picks:
-                fpath = os.path.join(frame_dir, names[int(p)])
-                # reference transforms (get_data.py:131-143): train
-                # RandomResizedCrop+flip, eval Resize — shipped uint8;
-                # ImageNet normalize runs on device (device_preprocess)
-                if self.train:
-                    fs.append(load_frame_train_u8(fpath, rng))
-                else:
-                    fs.append(load_frame_eval_u8(fpath))
+            if os.path.isdir(frame_dir):
+                names = sorted(os.listdir(frame_dir))
+                # random frame choice in BOTH modes (get_data.py:148-152)
+                picks = np.sort(rng.choice(
+                    len(names), self.use_video_frames,
+                    replace=len(names) < self.use_video_frames))
+                fs = []
+                for p in picks:
+                    fpath = os.path.join(frame_dir, names[int(p)])
+                    # reference transforms (get_data.py:131-143): train
+                    # RandomResizedCrop+flip, eval Resize — shipped uint8;
+                    # ImageNet normalize runs on device (device_preprocess)
+                    if self.train:
+                        fs.append(load_frame_train_u8(fpath, rng))
+                    else:
+                        fs.append(load_frame_eval_u8(fpath))
+            else:
+                fs = self._stream_frames(clip_id, rng)
             frames.append(np.stack(fs))
             labels.append(label)
         return {
@@ -203,18 +240,53 @@ class VGGSoundDiskDataset:
             "label": np.asarray(labels, np.int32),
         }
 
+    def _stream_frames(self, clip_id: str, rng: np.random.Generator):
+        """mp4-direct frame path (no extracted frames/<clip>/ dir): decode
+        the clip's 1 FPS tick grid via libav (the exact grid
+        tools/preprocess.py video-frames would have written to disk), then
+        the usual random pick + train/eval transform.  Admission
+        (_read_csv_items with frames_stream_ok) guarantees libav can
+        decode the corpus codec, so failures here are per-file corruption
+        and raise with the clip named."""
+        from ..data.imageops import (transform_frame_eval_u8,
+                                     transform_frame_train_u8)
+        from ..utils import avdecode
+
+        for ext in _VIDEO_EXTS:
+            path = os.path.join(self.data_dir, "video", clip_id + ext)
+            if os.path.exists(path):
+                break
+        else:
+            raise FileNotFoundError(
+                f"no frames for {clip_id}: neither frames/{clip_id}/ nor "
+                f"video/{clip_id}.mp4 under {self.data_dir}")
+        decoded = [f for f, _ in avdecode.decode_frames_at_fps(
+            path, FRAME_FPS)]
+        if not decoded:
+            raise ValueError(
+                f"clip {clip_id!r}: video decoded to zero frames")
+        picks = np.sort(rng.choice(
+            len(decoded), self.use_video_frames,
+            replace=len(decoded) < self.use_video_frames))
+        if self.train:
+            return [transform_frame_train_u8(decoded[int(p)], rng)
+                    for p in picks]
+        return [transform_frame_eval_u8(decoded[int(p)]) for p in picks]
+
 
 def _read_csv_items(data_dir: str, csv_name: str, split: str,
-                    class_map: dict, mp4_ok: bool = False):
+                    class_map: dict, mp4_ok: bool = False,
+                    frames_stream_ok: bool = False):
     """Rows of one split mapped through a SHARED class map.  The reference
     derives class ids from the train split and maps both splits through it
     (vggsound/get_data.py:88-101); the map is grown in train-row order.
 
     A clip is admitted when its wav exists (reference behavior), or —
-    when ``mp4_ok`` (the container audio is native-streamable, see
-    ``_mp4_streamable``) — when both video/<clip>.mp4|.mov AND the
-    extracted frames/<clip>/ dir exist, so admission implies gather
-    cannot fail."""
+    when ``mp4_ok`` (the container audio is native- or libav-streamable,
+    see ``_mp4_streamable``) — when video/<clip>.mp4|.mov exists AND its
+    frames are reachable: an extracted frames/<clip>/ dir, or
+    ``frames_stream_ok`` (libav decodes the corpus video codec, see
+    ``_mp4_frames_streamable``).  Admission implies gather cannot fail."""
     items = []
     path = os.path.join(data_dir, csv_name)
     with open(path) as f:
@@ -235,8 +307,9 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
             if not ok and mp4_ok:
                 ok = any(os.path.exists(os.path.join(
                     data_dir, "video", clip_id + ext))
-                    for ext in _VIDEO_EXTS) and os.path.isdir(
-                        os.path.join(data_dir, "frames", clip_id))
+                    for ext in _VIDEO_EXTS) and (
+                        frames_stream_ok or os.path.isdir(
+                            os.path.join(data_dir, "frames", clip_id)))
             if ok:
                 items.append((clip_id, class_map[cls]))
     return items
@@ -250,10 +323,11 @@ def get_data(args) -> DataBundle:
         nframes = int(getattr(args, "use_video_frames", 4))
         class_map: dict = {}
         mp4_ok = _mp4_streamable(data_dir)
+        frames_stream_ok = mp4_ok and _mp4_frames_streamable(data_dir)
         train_items = _read_csv_items(data_dir, "vggsound.csv", "train",
-                                      class_map, mp4_ok)
+                                      class_map, mp4_ok, frames_stream_ok)
         test_items = _read_csv_items(data_dir, "vggsound.csv", "test",
-                                     class_map, mp4_ok)
+                                     class_map, mp4_ok, frames_stream_ok)
         for split_name, split_items in (("train", train_items),
                                         ("test", test_items)):
             if not split_items:
@@ -261,9 +335,10 @@ def get_data(args) -> DataBundle:
                     f"{data_dir}vggsound.csv exists but 0 {split_name} "
                     "clips were admitted: each clip needs "
                     "audio/<clip>.wav (run tools/preprocess.py mp4-to-wav) "
-                    "or, for PCM-audio mp4s, video/<clip>.mp4 plus "
-                    "extracted frames/<clip>/ "
-                    "(tools/preprocess.py video-frames)")
+                    "or, for streamable-audio mp4s, video/<clip>.mp4 plus "
+                    "frames — an extracted frames/<clip>/ dir "
+                    "(tools/preprocess.py video-frames), or the libav "
+                    "module to stream them from the container")
         train = VGGSoundDiskDataset(data_dir, train_items, True, nframes,
                                     seed)
         test = VGGSoundDiskDataset(data_dir, test_items, False, nframes,

@@ -173,3 +173,29 @@ def load_frame_train(path: str, rng: np.random.Generator,
     """load_frame_train_u8 + host-side ToTensor/Normalize (float output)."""
     return _normalize(load_frame_train_u8(path, rng, size)
                       .astype(np.float32) / 255.0)
+
+
+def transform_frame_train_u8(img: np.ndarray, rng: np.random.Generator,
+                             size: int = 224) -> np.ndarray:
+    """RandomResizedCrop(size) + horizontal flip on an ALREADY-DECODED
+    uint8 RGB array (the mp4-direct frame-streaming path, where libav
+    hands us pixels instead of a JPEG file).  Same transform semantics
+    and rng draw order (crop box, then flip) as load_frame_train_u8."""
+    from PIL import Image
+
+    pil = Image.fromarray(img)
+    box = random_resized_crop_box(rng, pil.width, pil.height)
+    out = np.asarray(pil.resize((size, size), Image.BILINEAR, box=box),
+                     np.uint8)
+    if rng.random() < 0.5:
+        out = out[:, ::-1]
+    return out
+
+
+def transform_frame_eval_u8(img: np.ndarray, size: int = 224) -> np.ndarray:
+    """Resize((size, size)) on an already-decoded uint8 RGB array —
+    deterministic eval twin of transform_frame_train_u8."""
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize((size, size),
+                                                  Image.BILINEAR), np.uint8)

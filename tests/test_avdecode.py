@@ -222,3 +222,67 @@ def test_vggsound_streams_aac_mp4(tmp_path):
     assert len(_tone()) <= len(audio) <= len(_tone()) + 1024
     spec = np.abs(np.fft.rfft(audio[:SR]))
     assert abs(np.argmax(spec) - TONE_HZ) <= 2
+
+
+def test_vggsound_streams_frames_from_mp4(tmp_path):
+    """Full adapter over a raw-download-shaped corpus: H.264+AAC mp4s
+    only — NO extracted audio/ wavs and NO frames/ dirs.  Admission and
+    gather must work end to end via the libav streaming paths (the
+    reference cannot run at all before its 7 h ffmpeg frame-extraction
+    stage, vggsound/DATASET.md)."""
+    from multimodal_clinical_tpu.benchmarks import vggsound as vg
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    for clip in ("vidA_000001", "vidB_000002"):
+        avdecode.encode_mp4(str(vdir / f"{clip}.mp4"), _frames(), FPS,
+                            _tone(3.0), SR)
+    with open(tmp_path / "vggsound.csv", "w") as f:
+        f.write("vidA,1,dog,train\nvidB,2,cat,train\n"
+                "vidA,1,dog,test\nvidB,2,cat,test\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 2
+        seed = 0
+        use_video_frames = 2
+
+    bundle = vg.get_data(Args())
+    assert not bundle.synthetic
+    assert len(bundle.train) == 2 and len(bundle.test) == 2
+    batch = bundle.train.gather(np.arange(2))
+    # 3 s clip at the 1 FPS grid -> 3 decodable ticks; 2 picked frames,
+    # RandomResizedCrop(224)'d, shipped uint8
+    assert batch["x2"].shape == (2, 2, 224, 224, 3)
+    assert batch["x2"].dtype == np.uint8
+    assert batch["x1_waveform"].shape == (2, SR * vg.CROP_SEC)
+    # eval path: deterministic Resize of tick frames — flat COLORS
+    # frames stay flat through swscale+PIL, so channel means pin which
+    # source frame was picked (ticks 0,1,2 -> source frames 0,4,8)
+    ebatch = bundle.test.gather(np.arange(2))
+    assert ebatch["x2"].shape == (2, 2, 224, 224, 3)
+    frame = ebatch["x2"][0, 0].astype(int).mean(axis=(0, 1))
+    assert any(np.abs(frame - np.array(COLORS[i])).max() < 16.0
+               for i in (0, 4, 8)), frame
+    # deterministic per (seed, epoch, index)
+    again = bundle.test.gather(np.arange(2))
+    np.testing.assert_array_equal(ebatch["x2"], again["x2"])
+
+
+def test_transform_frame_array_variants():
+    """Array-input train/eval transforms (the streaming path's twins of
+    load_frame_{train,eval}_u8) keep shape/dtype contracts and are
+    deterministic per rng state."""
+    from multimodal_clinical_tpu.data.imageops import (
+        transform_frame_eval_u8, transform_frame_train_u8)
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (48, 64, 3)).astype(np.uint8)
+    out = transform_frame_eval_u8(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.uint8
+    a = transform_frame_train_u8(img, np.random.default_rng(7))
+    b = transform_frame_train_u8(img, np.random.default_rng(7))
+    assert a.shape == (224, 224, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    c = transform_frame_train_u8(img, np.random.default_rng(8))
+    assert not np.array_equal(a, c)

@@ -298,11 +298,18 @@ def test_vggsound_streams_audio_from_mp4(tmp_path):
                                / 32768.0, atol=1e-6)
 
 
-def test_vggsound_adapter_admits_mp4_only_clips(tmp_path):
+def test_vggsound_adapter_admits_mp4_only_clips(tmp_path, monkeypatch):
     """Full adapter path with NO extracted wavs: _mp4_streamable probes the
     corpus, csv admission requires video+frames, gather produces batches
-    with audio streamed from the container."""
+    with audio streamed from the container.  Run WITHOUT the libav module
+    (monkeypatched away) so the strict frames-dir admission rule is what's
+    under test; with libav the frame-less clip is instead admitted via
+    mp4-direct frame streaming
+    (tests/test_avdecode.py::test_vggsound_streams_frames_from_mp4)."""
     from multimodal_clinical_tpu.benchmarks.vggsound import SR, get_data
+    from multimodal_clinical_tpu.utils import avdecode
+
+    monkeypatch.setattr(avdecode, "_load", lambda: None)
 
     rng = np.random.default_rng(11)
     os.makedirs(tmp_path / "video")
