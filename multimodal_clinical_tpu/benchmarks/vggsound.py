@@ -78,7 +78,12 @@ def _read_audio(data_dir: str, clip_id: str) -> np.ndarray:
         if os.path.exists(path):
             try:
                 audio, sr = read_mp4_pcm_mono(path)
-            except ValueError:
+            except Exception:
+                # any native-path failure (non-PCM codec ValueError,
+                # native-library-unavailable RuntimeError, short-read
+                # IOError on a truncated file): the libav decoder is the
+                # catch-all, matching _mp4_streamable's admission probe —
+                # re-raise only when it too is absent
                 from ..utils import avdecode
 
                 if not avdecode.available():
@@ -122,10 +127,12 @@ def _mp4_streamable(data_dir: str) -> bool:
         from ..utils import avdecode
 
         if avdecode.available():
+            # definitive per-file check: decoder resolved by codec id the
+            # same way read_audio_mono will (external-lib decoders count)
+            if avdecode.can_decode_stream(path, "audio"):
+                return True
             info = avdecode.probe(path)
             codec = info["audio_codec"] if info else None
-            if codec and avdecode.has_decoder(codec):
-                return True
             reason = (f"audio codec {codec!r} has no libav decoder"
                       if codec else reason)
         print(f"[vggsound] video/{name}: {reason} — "
@@ -142,12 +149,14 @@ FRAME_FPS = 1.0
 
 
 def _mp4_frames_streamable(data_dir: str) -> bool:
-    """One-shot probe: can clips WITHOUT an extracted frames/<clip>/ dir
-    stream video frames straight from the container?  True when the libav
-    module is present and the first video file's codec has a decoder
-    (datasets are codec-homogeneous).  Streaming decodes the whole clip
-    per sample, so a throughput note is printed — offline extraction
-    (tools/preprocess.py video-frames) stays the fast path."""
+    """Probe (called LAZILY, only when an admission candidate actually
+    lacks an extracted frames/<clip>/ dir): can such clips stream video
+    frames straight from the container?  True when the libav module is
+    present and it resolves a decoder for the first video file — by
+    codec id, exactly as the decode path will, so external-lib-only
+    decoders count (datasets are codec-homogeneous).  Streaming decodes
+    the whole clip per sample, so a throughput note is printed — offline
+    extraction (tools/preprocess.py video-frames) stays the fast path."""
     from ..utils import avdecode
 
     video_dir = os.path.join(data_dir, "video")
@@ -156,9 +165,10 @@ def _mp4_frames_streamable(data_dir: str) -> bool:
     for name in sorted(os.listdir(video_dir)):
         if not name.endswith(_VIDEO_EXTS):
             continue
-        info = avdecode.probe(os.path.join(video_dir, name))
-        codec = info["video_codec"] if info else None
-        if codec and avdecode.has_decoder(codec):
+        path = os.path.join(video_dir, name)
+        if avdecode.can_decode_stream(path, "video"):
+            info = avdecode.probe(path)
+            codec = (info or {}).get("video_codec", "?")
             print(f"[vggsound] streaming video frames straight from "
                   f"containers ({codec} via libav) for clips without an "
                   "extracted frames/<clip>/ dir — decode-per-sample is "
@@ -276,7 +286,7 @@ class VGGSoundDiskDataset:
 
 def _read_csv_items(data_dir: str, csv_name: str, split: str,
                     class_map: dict, mp4_ok: bool = False,
-                    frames_stream_ok: bool = False):
+                    frames_stream_ok=None):
     """Rows of one split mapped through a SHARED class map.  The reference
     derives class ids from the train split and maps both splits through it
     (vggsound/get_data.py:88-101); the map is grown in train-row order.
@@ -285,8 +295,10 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
     when ``mp4_ok`` (the container audio is native- or libav-streamable,
     see ``_mp4_streamable``) — when video/<clip>.mp4|.mov exists AND its
     frames are reachable: an extracted frames/<clip>/ dir, or
-    ``frames_stream_ok`` (libav decodes the corpus video codec, see
-    ``_mp4_frames_streamable``).  Admission implies gather cannot fail."""
+    ``frames_stream_ok()`` (a CALLABLE so the libav probe and its
+    slow-path throughput note run only when some candidate clip actually
+    lacks a frames dir — see ``_mp4_frames_streamable``).  Admission
+    implies gather cannot fail."""
     items = []
     path = os.path.join(data_dir, csv_name)
     with open(path) as f:
@@ -308,8 +320,10 @@ def _read_csv_items(data_dir: str, csv_name: str, split: str,
                 ok = any(os.path.exists(os.path.join(
                     data_dir, "video", clip_id + ext))
                     for ext in _VIDEO_EXTS) and (
-                        frames_stream_ok or os.path.isdir(
-                            os.path.join(data_dir, "frames", clip_id)))
+                        os.path.isdir(os.path.join(data_dir, "frames",
+                                                   clip_id))
+                        or (frames_stream_ok is not None
+                            and frames_stream_ok()))
             if ok:
                 items.append((clip_id, class_map[cls]))
     return items
@@ -323,7 +337,15 @@ def get_data(args) -> DataBundle:
         nframes = int(getattr(args, "use_video_frames", 4))
         class_map: dict = {}
         mp4_ok = _mp4_streamable(data_dir)
-        frames_stream_ok = mp4_ok and _mp4_frames_streamable(data_dir)
+        # memoized lazy probe: runs (and prints its throughput note) only
+        # if some candidate clip actually lacks an extracted frames dir
+        _cache: list = []
+
+        def frames_stream_ok() -> bool:
+            if not _cache:
+                _cache.append(_mp4_frames_streamable(data_dir))
+            return _cache[0]
+
         train_items = _read_csv_items(data_dir, "vggsound.csv", "train",
                                       class_map, mp4_ok, frames_stream_ok)
         test_items = _read_csv_items(data_dir, "vggsound.csv", "test",

@@ -51,12 +51,26 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
         # make is a no-op when the .so is current; it silently skips the
-        # libav target on hosts without the FFmpeg dev headers
+        # libav target on hosts without the FFmpeg dev headers.  flock
+        # serializes concurrent first-use builds (multihost workers,
+        # parallel preprocess jobs) so no process dlopens a half-written
+        # .so; a failed lock degrades to an unsynchronized build.
+        lock = None
+        try:
+            import fcntl
+
+            lock = open(os.path.join(_NATIVE_DIR, ".build.lock"), "w")
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except Exception:
+            lock = None
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
             pass
+        finally:
+            if lock is not None:
+                lock.close()  # closing drops the flock
     if not os.path.exists(_LIB_PATH):
         return None
     try:
@@ -66,6 +80,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.avd_error_msg.restype = ctypes.c_char_p
     lib.avd_has_decoder.argtypes = [ctypes.c_char_p]
     lib.avd_has_encoder.argtypes = [ctypes.c_char_p]
+    lib.avd_can_decode_stream.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.avd_probe.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_int,
@@ -146,6 +161,16 @@ def has_decoder(name: str) -> bool:
     return lib is not None and bool(lib.avd_has_decoder(name.encode()))
 
 
+def can_decode_stream(path: str, media: str) -> bool:
+    """Definitive per-file decodability (``media`` = 'video' | 'audio'):
+    resolves the decoder exactly as the decode paths do (by codec id via
+    av_find_best_stream), so external-lib-only decoders count — unlike
+    the name lookup behind can_decode_fourcc.  Header-only cost."""
+    lib = _load()
+    return lib is not None and bool(lib.avd_can_decode_stream(
+        path.encode(), 0 if media == "video" else 1))
+
+
 def has_encoder(name: str) -> bool:
     lib = _load()
     return lib is not None and bool(lib.avd_has_encoder(name.encode()))
@@ -204,48 +229,69 @@ def read_audio_mono(path: str, target_sr: int = 0
     return out, int(sr_out.value)
 
 
-def iter_frames(path: str, size: Optional[Tuple[int, int]] = None
-                ) -> Iterator[Tuple[np.ndarray, float]]:
-    """Stream-decode video frames as (RGB uint8 (H, W, 3), pts seconds).
-    ``size`` = (width, height) swscales each frame; None keeps native."""
-    lib = _load()
-    if lib is None:
-        raise ValueError(f"{path}: libavdecode unavailable")
-    out_w, out_h = size if size else (0, 0)
-    h = lib.avd_open_video(path.encode(), int(out_w), int(out_h))
-    if not h:
-        raise ValueError(f"{path}: {_err(lib)}")
-    try:
+class _OpenVideo:
+    """A live decode handle: frame iterator + header metadata from ONE
+    avformat open (per-sample gather paths should not reopen the
+    container just to read the duration)."""
+
+    def __init__(self, path: str, size: Optional[Tuple[int, int]] = None):
+        lib = _load()
+        if lib is None:
+            raise ValueError(f"{path}: libavdecode unavailable")
+        self._lib = lib
+        self._path = path
+        out_w, out_h = size if size else (0, 0)
+        self._h = lib.avd_open_video(path.encode(), int(out_w), int(out_h))
+        if not self._h:
+            raise ValueError(f"{path}: {_err(lib)}")
+
+    def duration(self) -> float:
+        """Container/stream duration in seconds (0.0 when unknown)."""
+        return float(self._lib.avd_video_duration(self._h))
+
+    def frames(self) -> Iterator[Tuple[np.ndarray, float]]:
         w = ctypes.c_int(0)
         hh = ctypes.c_int(0)
-        lib.avd_video_dims(h, ctypes.byref(w), ctypes.byref(hh))
+        self._lib.avd_video_dims(self._h, ctypes.byref(w), ctypes.byref(hh))
         frame = np.empty((hh.value, w.value, 3), np.uint8)
         pts = ctypes.c_double(0)
         while True:
-            rc = lib.avd_next_frame(
-                h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rc = self._lib.avd_next_frame(
+                self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.byref(pts))
             if rc == 0:
                 return
             if rc < 0:
-                raise ValueError(f"{path}: {_err(lib)}")
+                raise ValueError(f"{self._path}: {_err(self._lib)}")
             yield frame.copy(), float(pts.value)
-    finally:
-        lib.avd_close(h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.avd_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def iter_frames(path: str, size: Optional[Tuple[int, int]] = None
+                ) -> Iterator[Tuple[np.ndarray, float]]:
+    """Stream-decode video frames as (RGB uint8 (H, W, 3), pts seconds).
+    ``size`` = (width, height) swscales each frame; None keeps native."""
+    with _OpenVideo(path, size) as v:
+        yield from v.frames()
 
 
 def video_duration(path: str) -> float:
     """Stream duration in seconds (0.0 when the container doesn't say)."""
-    lib = _load()
-    if lib is None:
-        return 0.0
-    h = lib.avd_open_video(path.encode(), 0, 0)
-    if not h:
-        return 0.0
     try:
-        return float(lib.avd_video_duration(h))
-    finally:
-        lib.avd_close(h)
+        with _OpenVideo(path) as v:
+            return v.duration()
+    except ValueError:
+        return 0.0
 
 
 def decode_frames_at_fps(path: str, fps: float, start: float = 0.0,
@@ -257,12 +303,20 @@ def decode_frames_at_fps(path: str, fps: float, start: float = 0.0,
     containers (and that the reference gets from ffmpeg's fps filter,
     cremad/video_preprocessing.py:36-76).
 
+    ``end`` None reads the duration from the open handle (one container
+    open total); an EXPLICIT end <= start is an empty segment and yields
+    nothing, exactly like the MJPEG path's ``while tick < end`` grid.
+
     Yields (RGB uint8 (H, W, 3), tick_seconds).
     """
-    if end is None:
-        end = video_duration(path)
-    it = iter_frames(path, size=size)
-    try:
+    if end is not None and end <= start:
+        return
+    with _OpenVideo(path, size) as v:
+        duration_known = end is not None
+        if end is None:
+            end = v.duration()
+            duration_known = end > start
+        it = v.frames()
         nxt = next(it, None)
         if nxt is None:
             return
@@ -276,7 +330,7 @@ def decode_frames_at_fps(path: str, fps: float, start: float = 0.0,
             while nxt is not None and nxt[1] <= tick + 1e-9:
                 cur, cur_pts = nxt
                 nxt = next(it, None)
-            if end > start:
+            if duration_known:
                 if tick >= end:  # same float grid as the MJPEG path
                     break
             elif nxt is None and tick >= cur_pts + 1.0 / fps - 1e-9:
@@ -287,8 +341,6 @@ def decode_frames_at_fps(path: str, fps: float, start: float = 0.0,
             yield cur, tick
             n_out += 1
             tick = start + n_out / fps
-    finally:
-        it.close()
 
 
 def encode_mp4(path: str, frames: Optional[np.ndarray], fps: int,

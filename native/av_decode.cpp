@@ -64,6 +64,26 @@ int avd_has_encoder(const char* name) {
   return avcodec_find_encoder_by_name(name) != nullptr;
 }
 
+// Definitive per-file decodability: resolves the decoder the same way the
+// decode paths do (av_find_best_stream by codec id), so builds where the
+// only decoder is an external-lib wrapper (e.g. libvpx-vp9 with the native
+// vp9 decoder disabled) answer correctly where a name lookup would not.
+// media_type: 0 = video, 1 = audio.  Header-only cost (no codec open).
+int avd_can_decode_stream(const char* path, int media_type) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return 0;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return 0;
+  }
+  const AVCodec* dec = nullptr;
+  int stream = av_find_best_stream(
+      fmt, media_type == 0 ? AVMEDIA_TYPE_VIDEO : AVMEDIA_TYPE_AUDIO, -1, -1,
+      &dec, 0);
+  avformat_close_input(&fmt);
+  return stream >= 0 && dec != nullptr;
+}
+
 // ---------------------------------------------------------------------------
 // Probe (header-only open; no frame decode)
 // ---------------------------------------------------------------------------

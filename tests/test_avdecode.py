@@ -127,6 +127,21 @@ def test_fps_tick_grid_segment(fixture_mp4):
     _assert_color(out[1][0], COLORS[6], ctx="tick 1.5")
 
 
+def test_fps_tick_grid_empty_segment(fixture_mp4):
+    # an EXPLICIT empty/inverted segment yields nothing — the MJPEG
+    # path's `while tick < end` grid writes 0 frames for the same input
+    assert list(avdecode.decode_frames_at_fps(
+        fixture_mp4, 1.0, start=1.0, end=1.0)) == []
+    assert list(avdecode.decode_frames_at_fps(
+        fixture_mp4, 1.0, start=2.0, end=0.5)) == []
+
+
+def test_can_decode_stream(fixture_mp4):
+    assert avdecode.can_decode_stream(fixture_mp4, "video")
+    assert avdecode.can_decode_stream(fixture_mp4, "audio")
+    assert not avdecode.can_decode_stream("/nonexistent/x.mp4", "video")
+
+
 def test_read_audio_missing_file_raises():
     with pytest.raises(ValueError):
         avdecode.read_audio_mono("/nonexistent/clip.mp4")
@@ -187,6 +202,25 @@ def test_preprocess_mp4_to_wav_libav(tmp_path):
         pcm = np.frombuffer(w.readframes(w.getnframes()), np.int16)
     spec = np.abs(np.fft.rfft(pcm[:SR].astype(np.float32)))
     assert abs(np.argmax(spec) - TONE_HZ) <= 2
+
+
+def test_preprocess_census_warns_for_forced_native_backend(tmp_path, capsys):
+    """--backend native on an H.264 corpus must warn up front even though
+    the verdict column says a libav fallback could decode the files —
+    'will fail' is judged against the SELECTED backend."""
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), _frames(), FPS, _tone(), SR)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import preprocess as pp
+
+    pp._print_census(str(vdir), (".mp4",), "video", "native")
+    out = capsys.readouterr().out
+    assert "libav-ok" in out
+    assert "WARNING: 1/1" in out and "selected native backend" in out
+    pp._print_census(str(vdir), (".mp4",), "video", "libav")
+    assert "WARNING" not in capsys.readouterr().out
 
 
 def test_preprocess_census_reports_libav_ok(tmp_path, capsys):
@@ -267,6 +301,40 @@ def test_vggsound_streams_frames_from_mp4(tmp_path):
     # deterministic per (seed, epoch, index)
     again = bundle.test.gather(np.arange(2))
     np.testing.assert_array_equal(ebatch["x2"], again["x2"])
+
+
+def test_vggsound_no_streaming_note_when_frames_extracted(tmp_path, capsys):
+    """A fully preprocessed corpus (every clip has a frames/ dir) must not
+    print the slow-path streaming note — the probe is lazy and only runs
+    when some candidate clip actually lacks extracted frames."""
+    from PIL import Image
+
+    from multimodal_clinical_tpu.benchmarks import vggsound as vg
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    for clip in ("vidA_000001", "vidB_000002"):
+        avdecode.encode_mp4(str(vdir / f"{clip}.mp4"), _frames(), FPS,
+                            _tone(3.0), SR)
+        fdir = tmp_path / "frames" / clip
+        fdir.mkdir(parents=True)
+        for j in range(3):
+            Image.fromarray(_frames()[j]).save(fdir / f"frame_{j:05d}.jpg")
+    with open(tmp_path / "vggsound.csv", "w") as f:
+        f.write("vidA,1,dog,train\nvidB,2,cat,train\n"
+                "vidA,1,dog,test\nvidB,2,cat,test\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 2
+        seed = 0
+        use_video_frames = 2
+
+    bundle = vg.get_data(Args())
+    assert len(bundle.train) == 2
+    assert "streaming video frames" not in capsys.readouterr().out
+    batch = bundle.train.gather(np.arange(2))
+    assert batch["x2"].shape == (2, 2, 224, 224, 3)
 
 
 def test_transform_frame_array_variants():

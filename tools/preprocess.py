@@ -118,7 +118,12 @@ def _print_census(video_dir: str, exts, need: str, backend: str) -> None:
     libav = avdecode.available()
     print(f"[census] {total} files probed in {video_dir}"
           + (f" ({unreadable} not ISO-BMFF/unreadable)" if unreadable else ""))
-    unsupported = unreadable if not libav else 0
+    # "will fail" is judged against the SELECTED backend: files the native
+    # demuxer can't touch still fail under --backend native even when the
+    # verdict column says a libav fallback could have decoded them
+    # non-ISO-BMFF/unreadable files only doom the native demuxer backend
+    # (libav and ffmpeg read most container formats)
+    unsupported = unreadable if backend == "native" else 0
     for (v, a), n in sorted(census.items(), key=lambda kv: -kv[1]):
         codec = v if need == "video" else a
         native_ok = (v in _JPEG_CODECS if need == "video"
@@ -130,12 +135,16 @@ def _print_census(video_dir: str, exts, need: str, backend: str) -> None:
             verdict = "libav-ok"
         else:
             verdict = "needs ffmpeg"
+        will_fail = ((backend == "native" and not native_ok)
+                     or (backend == "libav" and not libav_ok))
+        if will_fail:
             unsupported += n
         print(f"[census]   video={v!r} audio={a!r}: {n} ({verdict})")
     if unsupported and backend in ("native", "libav"):
-        print(f"[census] WARNING: {unsupported}/{total} files need ffmpeg "
-              f"for {need} extraction and the {backend} backend is selected "
-              "— they will fail (supported-codec matrix: docs/DATASETS.md)")
+        print(f"[census] WARNING: {unsupported}/{total} files cannot be "
+              f"decoded for {need} extraction by the selected {backend} "
+              "backend — they will fail (supported-codec matrix: "
+              "docs/DATASETS.md)")
 
 
 def _native_video_frames(src: str, out_dir: str, fps: float, seg) -> int:
