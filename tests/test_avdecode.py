@@ -204,6 +204,46 @@ def test_preprocess_mp4_to_wav_libav(tmp_path):
     assert abs(np.argmax(spec) - TONE_HZ) <= 2
 
 
+def test_preprocess_video_frames_libav_segments(tmp_path):
+    """Segment-aware extraction (the AVE SE pipeline,
+    ave/video_preprocessing.py video2frame_update_SE): the libav backend
+    must honor the clip's [start, end) window on the fps tick grid."""
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), _frames(), FPS, _tone(), SR)
+    (tmp_path / "seg.csv").write_text("clip,0.5,2.0\n")
+    out = tmp_path / "frames"
+    r = _run_preprocess("video-frames", "--video-dir", str(vdir),
+                        "--out", str(out), "--fps", "1",
+                        "--min-frames", "1", "--backend", "libav",
+                        "--segments", str(tmp_path / "seg.csv"))
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(out / "clip"))
+    assert files == ["frame_00001.jpg", "frame_00002.jpg"]  # ticks 0.5, 1.5
+    from PIL import Image
+
+    img = np.asarray(Image.open(out / "clip" / "frame_00001.jpg"))
+    _assert_color(img, COLORS[2], tol=16.0, ctx="tick 0.5")
+
+
+def test_preprocess_mp4_to_wav_libav_segments(tmp_path):
+    """Segment slicing in the libav wav path (ave/extractWav_SE): a
+    [0.5, 1.5) window of a 2 s tone yields 1 s of audio."""
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clip.mp4"), None, FPS, _tone(), SR)
+    (tmp_path / "seg.csv").write_text("clip,0.5,1.5\n")
+    out = tmp_path / "wav"
+    r = _run_preprocess("mp4-to-wav", "--video-dir", str(vdir),
+                        "--out", str(out), "--backend", "libav",
+                        "--segments", str(tmp_path / "seg.csv"))
+    assert r.returncode == 0, r.stderr
+    with wave.open(str(out / "clip.wav"), "rb") as w:
+        assert w.getframerate() == SR
+        n = w.getnframes()
+    assert abs(n - SR) < SR // 20  # ~1 s
+
+
 def test_preprocess_census_warns_for_forced_native_backend(tmp_path, capsys):
     """--backend native on an H.264 corpus must warn up front even though
     the verdict column says a libav fallback could decode the files —
