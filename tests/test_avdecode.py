@@ -147,6 +147,43 @@ def test_read_audio_missing_file_raises():
         avdecode.read_audio_mono("/nonexistent/clip.mp4")
 
 
+def test_garbage_bytes_error_not_crash(tmp_path):
+    """Random bytes with an .mp4 name must surface as a Python error from
+    every entry point — never a native crash."""
+    path = str(tmp_path / "garbage.mp4")
+    with open(path, "wb") as f:
+        f.write(np.random.default_rng(0).bytes(4096))
+    assert avdecode.probe(path) is None
+    assert not avdecode.can_decode_stream(path, "video")
+    with pytest.raises(ValueError):
+        avdecode.read_audio_mono(path)
+    with pytest.raises(ValueError):
+        list(avdecode.iter_frames(path))
+    assert avdecode.video_duration(path) == 0.0
+
+
+def test_truncated_mp4_no_crash(tmp_path, fixture_mp4):
+    """A container cut mid-stream (interrupted download) must decode what
+    it can or raise — never segfault.  mp4 moov atoms commonly trail the
+    mdat, so heavy truncation may lose all metadata: both a partial
+    decode and a clean error are acceptable outcomes."""
+    data = open(fixture_mp4, "rb").read()
+    for frac in (0.9, 0.5, 0.1):
+        path = str(tmp_path / f"trunc_{int(frac * 100)}.mp4")
+        with open(path, "wb") as f:
+            f.write(data[: int(len(data) * frac)])
+        try:
+            frames = list(avdecode.iter_frames(path))
+            assert len(frames) <= len(COLORS)
+        except ValueError:
+            pass
+        try:
+            audio, _sr = avdecode.read_audio_mono(path)
+            assert len(audio) <= len(_tone()) + 4096
+        except ValueError:
+            pass
+
+
 def test_has_decoder_census_mapping():
     assert avdecode.has_decoder("h264")
     assert avdecode.has_decoder("aac")
