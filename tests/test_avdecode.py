@@ -263,6 +263,43 @@ def test_preprocess_video_frames_libav_segments(tmp_path):
     _assert_color(img, COLORS[2], tol=16.0, ctx="tick 0.5")
 
 
+def test_preprocess_parallel_jobs_match_serial(tmp_path):
+    """--jobs N must produce byte-identical outputs to the serial run
+    (per-clip work is independent; threads only change completion
+    order)."""
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(6):
+        frames = rng.integers(0, 255, (8, 32, 48, 3)).astype(np.uint8)
+        avdecode.encode_mp4(str(vdir / f"clip{i}.mp4"), frames, FPS,
+                            _tone(1.0), SR)
+    outs = {}
+    for jobs in ("1", "4"):
+        out = tmp_path / f"frames_j{jobs}"
+        r = _run_preprocess("video-frames", "--video-dir", str(vdir),
+                            "--out", str(out), "--fps", "2",
+                            "--min-frames", "1", "--backend", "libav",
+                            "--jobs", jobs)
+        assert r.returncode == 0, r.stderr
+        outs[jobs] = {
+            f"{c}/{f}": open(out / c / f, "rb").read()
+            for c in sorted(os.listdir(out))
+            for f in sorted(os.listdir(out / c))
+        }
+    assert outs["1"] == outs["4"]
+    wavs = {}
+    for jobs in ("1", "4"):
+        out = tmp_path / f"wav_j{jobs}"
+        r = _run_preprocess("mp4-to-wav", "--video-dir", str(vdir),
+                            "--out", str(out), "--backend", "libav",
+                            "--jobs", jobs)
+        assert r.returncode == 0, r.stderr
+        wavs[jobs] = {f: open(out / f, "rb").read()
+                      for f in sorted(os.listdir(out))}
+    assert wavs["1"] == wavs["4"]
+
+
 def test_preprocess_mp4_to_wav_libav_segments(tmp_path):
     """Segment slicing in the libav wav path (ave/extractWav_SE): a
     [0.5, 1.5) window of a 2 s tone yields 1 s of audio."""

@@ -321,6 +321,31 @@ def cmd_cremad_audio(args):
     print(f"wrote {len(wavs)} spectrograms to {args.out}")
 
 
+def _resolve_jobs(args) -> int:
+    """--jobs 0 (default) = one worker per host core.  The decode work
+    releases the GIL (libav/native via ctypes, ffmpeg as a subprocess),
+    so threads scale on real multi-core hosts — the reference's
+    single-threaded ffmpeg loop takes ~7 h over VGGSound
+    (vggsound/DATASET.md:1-24)."""
+    jobs = int(getattr(args, "jobs", 0) or 0)
+    return jobs if jobs > 0 else max(1, os.cpu_count() or 1)
+
+
+def _map_files(fn, items, jobs: int) -> None:
+    """Apply fn to every item, across a thread pool when jobs > 1.
+    Per-clip outputs are independent files/dirs, so completion order
+    doesn't matter; the first worker exception propagates."""
+    if jobs <= 1 or len(items) <= 1:
+        for item in items:
+            fn(item)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        for _ in ex.map(fn, items):
+            pass
+
+
 def _load_segments(path):
     """clip_id,start_sec,end_sec csv -> dict (the AVE SE-aware pipeline,
     ave/video_preprocessing.py video2frame_update_SE / extractWav_SE)."""
@@ -342,7 +367,8 @@ def cmd_video_frames(args):
                   "video", backend)
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith((".mp4", ".flv", ".avi", ".mov")))
-    for name in videos:
+
+    def _one(name: str) -> None:
         clip = os.path.splitext(name)[0]
         out_dir = os.path.join(args.out, clip)
         os.makedirs(out_dir, exist_ok=True)
@@ -353,30 +379,26 @@ def cmd_video_frames(args):
                 _native_video_frames(src, out_dir, args.fps, seg)
             else:
                 _libav_video_frames(src, out_dir, args.fps, seg)
-            frames = sorted(os.listdir(out_dir))
-            while 0 < len(frames) < args.min_frames:
-                shutil.copy(os.path.join(out_dir, frames[-1]),
-                            os.path.join(out_dir,
-                                         f"frame_{len(frames) + 1:05d}.jpg"))
-                frames = sorted(os.listdir(out_dir))
-            continue
-        seg = []
-        if clip in segments:
-            start, end = segments[clip]
-            seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
-        subprocess.run(
-            ["ffmpeg", "-y", "-loglevel", "error", *seg, "-i", src,
-             "-vf", f"fps={args.fps}", "-q:v", "2",
-             os.path.join(out_dir, "frame_%05d.jpg")],
-            check=True,
-        )
+        else:
+            seg = []
+            if clip in segments:
+                start, end = segments[clip]
+                seg = ["-ss", str(start), "-t", str(max(end - start, 0.1))]
+            subprocess.run(
+                ["ffmpeg", "-y", "-loglevel", "error", *seg, "-i", src,
+                 "-vf", f"fps={args.fps}", "-q:v", "2",
+                 os.path.join(out_dir, "frame_%05d.jpg")],
+                check=True,
+            )
         # minimum-frame guarantee (video_preprocessing.py min 3 frames)
         frames = sorted(os.listdir(out_dir))
         while 0 < len(frames) < args.min_frames:
-            src = os.path.join(out_dir, frames[-1])
-            dst = os.path.join(out_dir, f"frame_{len(frames) + 1:05d}.jpg")
-            shutil.copy(src, dst)
-            frames.append(os.path.basename(dst))
+            shutil.copy(os.path.join(out_dir, frames[-1]),
+                        os.path.join(out_dir,
+                                     f"frame_{len(frames) + 1:05d}.jpg"))
+            frames = sorted(os.listdir(out_dir))
+
+    _map_files(_one, videos, _resolve_jobs(args))
     print(f"extracted frames for {len(videos)} videos into {args.out}")
 
 
@@ -387,17 +409,18 @@ def cmd_mp4_to_wav(args):
     _print_census(args.video_dir, (".mp4", ".mov"), "audio", backend)
     videos = sorted(f for f in os.listdir(args.video_dir)
                     if f.endswith((".mp4", ".mov")))
-    for name in videos:
+
+    def _one(name: str) -> None:
         clip = os.path.splitext(name)[0]
         src = os.path.join(args.video_dir, name)
         if backend == "native":
             _native_mp4_to_wav(src, os.path.join(args.out, clip + ".wav"),
                                segments.get(clip))
-            continue
+            return
         if backend == "libav":
             _libav_mp4_to_wav(src, os.path.join(args.out, clip + ".wav"),
                               segments.get(clip))
-            continue
+            return
         seg = []
         if clip in segments:
             start, end = segments[clip]
@@ -408,6 +431,8 @@ def cmd_mp4_to_wav(args):
              os.path.join(args.out, clip + ".wav")],
             check=True,
         )
+
+    _map_files(_one, videos, _resolve_jobs(args))
     print(f"extracted audio for {len(videos)} videos into {args.out}")
 
 
@@ -665,6 +690,9 @@ def main(argv=None):
                    help="auto: ffmpeg when on PATH, else libav "
                         "(in-process FFmpeg libraries: H.264/HEVC/VP9/"
                         "...), else the native demuxer (MJPEG only)")
+    s.add_argument("--jobs", type=int, default=0,
+                   help="parallel extraction workers (0 = host cores; "
+                        "decode releases the GIL)")
     s.set_defaults(fn=cmd_video_frames)
 
     s = sub.add_parser("mp4-to-wav")
@@ -677,6 +705,9 @@ def main(argv=None):
                    default="auto",
                    help="auto: ffmpeg when on PATH, else the native "
                         "demuxer (PCM only)")
+    s.add_argument("--jobs", type=int, default=0,
+                   help="parallel extraction workers (0 = host cores; "
+                        "decode releases the GIL)")
     s.set_defaults(fn=cmd_mp4_to_wav)
 
     s = sub.add_parser("food101-tokens")
