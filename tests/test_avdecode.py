@@ -372,6 +372,29 @@ def test_vggsound_streams_aac_mp4(tmp_path):
     assert abs(np.argmax(spec) - TONE_HZ) <= 2
 
 
+def test_vggsound_audio_fallback_covers_runtime_errors(tmp_path,
+                                                       monkeypatch):
+    """Any native-demuxer failure (RuntimeError when libfastdata is
+    absent, IOError on a short read — not just the non-PCM ValueError)
+    must fall through to the libav decoder, keeping the 'admission
+    implies gather cannot fail' invariant."""
+    from multimodal_clinical_tpu.benchmarks import vggsound as vg
+    from multimodal_clinical_tpu.utils import native
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clipA_000001.mp4"), None, FPS,
+                        _tone(), SR)
+
+    def _boom(path):
+        raise RuntimeError("native library unavailable")
+
+    monkeypatch.setattr(native, "read_mp4_pcm_mono", _boom)
+    audio = vg._read_audio(str(tmp_path), "clipA_000001")
+    spec = np.abs(np.fft.rfft(audio[:SR]))
+    assert abs(np.argmax(spec) - TONE_HZ) <= 2
+
+
 def test_vggsound_streams_frames_from_mp4(tmp_path):
     """Full adapter over a raw-download-shaped corpus: H.264+AAC mp4s
     only — NO extracted audio/ wavs and NO frames/ dirs.  Admission and
