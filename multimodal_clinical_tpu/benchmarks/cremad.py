@@ -14,6 +14,18 @@ All ten model variants from the reference factory (cremad/__init__.py:4-23):
   ensemble_model_noised.py:118-123) / qmf / qmf_ablate /
   qmf_ablate_Ljoint / qmf_ablate_Lunimodal / ogm_ge_lreg (QMF loss +
   OGM-GE modulation, joint_model_ogm_ge_lreg.py).
+
+Zero-offline-stage fallbacks (per corpus, chosen once in get_data): when
+``audio_spec/`` pickles were never generated, the host ships the tiled
+10 s waveform instead and the (257, 1004) log-spectrogram runs ON DEVICE
+inside the jitted step (ops/spectrogram.cremad_spectrogram — the same
+math tools/preprocess.py cremad-audio uses to build the pickles);
+waveforms come from ``audio/<clip>.wav`` or, via the in-process libav
+decoder, straight from ``video/<clip>.mp4|.flv`` (raw Crema-D downloads
+are H.264/AAC flv/mp4).  When ``image/<clip>/`` frame dirs are absent,
+the first 3 ticks of the 1 FPS grid stream from the container too.  The
+reference cannot run before its OpenCV/librosa preprocessing pass
+(cremad/video_preprocessing.py).
 """
 
 from __future__ import annotations
@@ -35,6 +47,30 @@ MODEL_TYPES = ("jlogits", "jprobas", "ensemble", "ogm_ge", "ensemble_ogm_ge",
                "qmf", "qmf_ablate", "qmf_ablate_Ljoint",
                "qmf_ablate_Lunimodal", "ogm_ge_lreg")
 
+SR = 16000
+TILE_SEC = 10  # tile-to->=10s window (cremad/video_preprocessing.py:113-118)
+_VIDEO_EXTS = (".mp4", ".mov", ".flv")  # raw Crema-D ships VideoFlash .flv
+
+
+def _find_video(data_dir: str, clip_id: str):
+    for ext in _VIDEO_EXTS:
+        path = os.path.join(data_dir, "video", clip_id + ext)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def _tile_clip_waveform(wav: np.ndarray, clip_id: str) -> np.ndarray:
+    """Tile to the fixed 10 s window and clip to [-1, 1] — the host half
+    of the offline pipeline (video_preprocessing.py:113-118); the
+    spectrogram half runs on device (device_preprocess)."""
+    if len(wav) == 0:
+        raise ValueError(f"clip {clip_id!r}: decoded audio is empty")
+    target = SR * TILE_SEC
+    reps = int(np.ceil(target / len(wav)))
+    return np.clip(np.tile(wav, reps)[:target], -1.0, 1.0).astype(np.float32)
+
+
 class CremadDiskDataset:
     """Lazy per-batch loader over pickled spectrograms + JPEG frames.
 
@@ -48,10 +84,12 @@ class CremadDiskDataset:
 
     num_frames = 3  # PMR protocol (cremad/get_data.py:117)
 
-    def __init__(self, data_dir: str, items, train: bool, seed: int = 0):
+    def __init__(self, data_dir: str, items, train: bool, seed: int = 0,
+                 audio_mode: str = "pkl"):
         self.data_dir = data_dir
         self.items = items  # list of (clip_id, label)
         self.train = train
+        self.audio_mode = audio_mode  # "pkl" | "stream" (per-corpus)
         self.labels = np.asarray([lab for _, lab in items], np.int32)
         self._seed = int(seed)
         self._epoch = 0
@@ -77,21 +115,67 @@ class CremadDiskDataset:
 
         frame_dir = os.path.join(self.data_dir, "image", clip_id)
         frames = []
-        for name in self._frame_names(frame_dir):
-            path = os.path.join(frame_dir, name)
-            if self.train:
-                frames.append(load_frame_train_u8(path, rng))
-            else:
-                frames.append(load_frame_eval_u8(path))
+        if os.path.isdir(frame_dir):
+            for name in self._frame_names(frame_dir):
+                path = os.path.join(frame_dir, name)
+                if self.train:
+                    frames.append(load_frame_train_u8(path, rng))
+                else:
+                    frames.append(load_frame_eval_u8(path))
+        else:
+            frames = self._stream_frames(clip_id, rng)
         if not frames:
-            # admission only checks the audio pickle; fail with the clip
+            # admission only checks the audio artifact; fail with the clip
             # name instead of an IndexError deep in a prefetch thread
             raise FileNotFoundError(
-                f"clip {clip_id!r}: no frames under {frame_dir!r} "
+                f"clip {clip_id!r}: no frames under {frame_dir!r} and no "
+                f"streamable video/{clip_id}.mp4|.flv "
                 f"(frame extraction incomplete?)")
         while len(frames) < self.num_frames:
             frames.append(frames[-1])
         return np.stack(frames)  # (num_frames, 224, 224, 3)
+
+    def _stream_frames(self, clip_id: str, rng):
+        """No extracted image/<clip>/ dir: decode the FIRST num_frames
+        ticks of the 1 FPS grid straight from the container (the same
+        frames the reference's extraction would have written and
+        get_data.py:117 would have picked — it reads the first 3 files).
+        Early-stop: only ~3 s of video is decoded per sample."""
+        from ..data.imageops import (transform_frame_eval_u8,
+                                     transform_frame_train_u8)
+        from ..utils import avdecode
+
+        path = _find_video(self.data_dir, clip_id)
+        if path is None or not avdecode.available():
+            return []
+        frames = []
+        for frame, _tick in avdecode.decode_frames_at_fps(path, 1.0):
+            frames.append(
+                transform_frame_train_u8(frame, rng) if self.train
+                else transform_frame_eval_u8(frame))
+            if len(frames) == self.num_frames:
+                break
+        return frames
+
+    def _load_audio_waveform(self, clip_id: str) -> np.ndarray:
+        """Streaming audio mode: 16 kHz mono from audio/<clip>.wav, else
+        any-codec decode straight from video/<clip>.mp4|.flv (libav)."""
+        from ..utils.native import resample_linear
+
+        wav_path = os.path.join(self.data_dir, "audio", clip_id + ".wav")
+        if os.path.exists(wav_path):
+            from .vggsound import _read_wav
+
+            return _tile_clip_waveform(_read_wav(wav_path), clip_id)
+        path = _find_video(self.data_dir, clip_id)
+        if path is None:
+            raise FileNotFoundError(
+                f"clip {clip_id!r}: no audio_spec pickle, no "
+                f"audio/{clip_id}.wav, no video container")
+        from ..utils import avdecode
+
+        audio, sr = avdecode.read_audio_mono(path)
+        return _tile_clip_waveform(resample_linear(audio, sr, SR), clip_id)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         from ..data.core import sample_rng
@@ -99,15 +183,19 @@ class CremadDiskDataset:
         specs, frames, labels = [], [], []
         for i in indices:
             clip_id, label = self.items[int(i)]
-            with open(os.path.join(self.data_dir, "audio_spec",
-                                   clip_id + ".pkl"), "rb") as f:
-                spec = pickle.load(f)
-            specs.append(np.asarray(spec, np.float32)[..., None])
+            if self.audio_mode == "pkl":
+                with open(os.path.join(self.data_dir, "audio_spec",
+                                       clip_id + ".pkl"), "rb") as f:
+                    spec = pickle.load(f)
+                specs.append(np.asarray(spec, np.float32)[..., None])
+            else:  # "stream": ship the waveform, spectrogram on device
+                specs.append(self._load_audio_waveform(clip_id))
             frames.append(self._load_frames(
                 clip_id, sample_rng(self._seed, self._epoch, int(i))))
             labels.append(label)
+        key = "x1" if self.audio_mode == "pkl" else "x1_waveform"
         return {
-            "x1": np.stack(specs),
+            key: np.stack(specs),
             "x2": np.stack(frames),  # uint8; normalized on device
             "label": np.asarray(labels, np.int32),
         }
@@ -116,7 +204,35 @@ class CremadDiskDataset:
 _CLASSES = {"NEU": 0, "HAP": 1, "SAD": 2, "FEA": 3, "DIS": 4, "ANG": 5}
 
 
-def _read_split(data_dir: str, csv_name: str):
+def _audio_mode(data_dir: str) -> str:
+    """Per-corpus audio source: 'pkl' when the offline audio_spec/ stage
+    ran (reference layout — existence filtering per clip like
+    cremad/get_data.py:80-85), else 'stream' (waveforms from wavs or
+    containers, spectrogram on device).  One mode per corpus so batches
+    are key-homogeneous."""
+    if os.path.isdir(os.path.join(data_dir, "audio_spec")):
+        return "pkl"
+    print("[cremad] no audio_spec/ pickles — shipping 10 s waveforms and "
+          "computing the (257, 1004) log-spectrogram on device "
+          "(tools/preprocess.py cremad-audio builds the offline pickles)")
+    return "stream"
+
+
+def _stream_admissible(data_dir: str, clip_id: str) -> bool:
+    """Streaming-mode admission: a wav, or a video container whose audio
+    the libav module can decode (probed per file — cheap header read;
+    admission implies gather cannot fail)."""
+    if os.path.exists(os.path.join(data_dir, "audio", clip_id + ".wav")):
+        return True
+    path = _find_video(data_dir, clip_id)
+    if path is None:
+        return False
+    from ..utils import avdecode
+
+    return avdecode.available() and avdecode.can_decode_stream(path, "audio")
+
+
+def _read_split(data_dir: str, csv_name: str, audio_mode: str = "pkl"):
     items = []
     with open(os.path.join(data_dir, csv_name)) as f:
         for row in csv.reader(f):
@@ -125,8 +241,12 @@ def _read_split(data_dir: str, csv_name: str):
             clip_id, cls = row[0], row[1]
             if cls not in _CLASSES:
                 continue
-            if os.path.exists(os.path.join(data_dir, "audio_spec",
-                                           clip_id + ".pkl")):
+            if audio_mode == "pkl":
+                ok = os.path.exists(os.path.join(data_dir, "audio_spec",
+                                                 clip_id + ".pkl"))
+            else:
+                ok = _stream_admissible(data_dir, clip_id)
+            if ok:
                 items.append((clip_id, _CLASSES[cls]))
     return items
 
@@ -135,10 +255,19 @@ def get_data(args) -> DataBundle:
     data_dir = getattr(args, "data_path", "data/cremad/")
     seed = int(getattr(args, "seed", 0))
     if os.path.exists(os.path.join(data_dir, "train.csv")):
-        train_items = _read_split(data_dir, "train.csv")
-        test_items = _read_split(data_dir, "test.csv")
-        train = CremadDiskDataset(data_dir, train_items, True, seed)
-        test = CremadDiskDataset(data_dir, test_items, False, seed)
+        mode = _audio_mode(data_dir)
+        train_items = _read_split(data_dir, "train.csv", mode)
+        test_items = _read_split(data_dir, "test.csv", mode)
+        for name, split in (("train", train_items), ("test", test_items)):
+            if not split:
+                raise FileNotFoundError(
+                    f"{data_dir}{name}.csv exists but 0 clips were "
+                    "admitted: each clip needs audio_spec/<clip>.pkl "
+                    "(tools/preprocess.py cremad-audio), or — for the "
+                    "zero-offline-stage path — audio/<clip>.wav or a "
+                    "libav-decodable video/<clip>.mp4|.flv")
+        train = CremadDiskDataset(data_dir, train_items, True, seed, mode)
+        test = CremadDiskDataset(data_dir, test_items, False, seed, mode)
         val = test  # reference quirk: val IS test (cremad/get_data.py:160-166)
         synthetic = False
     else:
@@ -204,9 +333,19 @@ def device_preprocess(batch, rng, train: bool):
     """uint8-shipped frames -> ImageNet-normalized float32 on device: the
     ToTensor+Normalize stage of cremad/get_data.py:94-109 moved across the
     H2D boundary (2x fewer tunnel bytes than bf16; float inputs — the
-    synthetic twin — pass through unchanged)."""
+    synthetic twin — pass through unchanged).
+
+    Streaming audio mode ships the tiled 10 s waveform instead of the
+    offline pickle; the (257, 1004) log-spectrogram then runs inside the
+    jitted step (ops/spectrogram.cremad_spectrogram — the exact math the
+    offline cremad-audio stage pickles, video_preprocessing.py:119-130)."""
     from ..data.imageops import normalize_frames_device
 
     batch = dict(batch)
     batch["x2"] = normalize_frames_device(batch["x2"])
+    if "x1_waveform" in batch:
+        from ..ops.spectrogram import cremad_spectrogram
+
+        wave = batch.pop("x1_waveform")
+        batch["x1"] = cremad_spectrogram(wave)[..., None]
     return batch

@@ -474,6 +474,107 @@ def test_vggsound_no_streaming_note_when_frames_extracted(tmp_path, capsys):
     assert batch["x2"].shape == (2, 2, 224, 224, 3)
 
 
+def test_cremad_zero_stage_corpus(tmp_path):
+    """Crema-D over a raw-download-shaped corpus: H.264/AAC containers
+    plus the csv file lists ONLY — no audio_spec pickles, no extracted
+    image/ dirs.  Admission + gather must work end to end (the reference
+    cannot run before its OpenCV/librosa preprocessing pass,
+    cremad/video_preprocessing.py), and device_preprocess must produce
+    the exact (257, 1004) spectrogram geometry the pickles would have
+    carried."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import cremad as cm
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    rng = np.random.default_rng(5)
+    rows = []
+    for i, cls in enumerate(("NEU", "HAP", "SAD", "FEA")):
+        clip = f"1001_IEO_{cls}_XX"
+        frames = rng.integers(0, 255, (12, 48, 64, 3)).astype(np.uint8)
+        tone = (0.3 * np.sin(2 * np.pi * (200 + 50 * i)
+                             * np.arange(16000) / 16000)).astype(np.float32)
+        avdecode.encode_mp4(str(vdir / f"{clip}.mp4"), frames, FPS,
+                            tone, 16000)
+        rows.append(f"{clip},{cls}")
+    (tmp_path / "train.csv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "test.csv").write_text(rows[0] + "\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 6
+        seed = 0
+
+    bundle = cm.get_data(Args())
+    assert not bundle.synthetic
+    assert len(bundle.train) == 4 and len(bundle.test) == 1
+    batch = bundle.train.gather(np.arange(4))
+    assert batch["x1_waveform"].shape == (4, cm.SR * cm.TILE_SEC)
+    assert batch["x1_waveform"].dtype == np.float32
+    assert batch["x2"].shape == (4, 3, 224, 224, 3)
+    assert batch["x2"].dtype == np.uint8
+    out = cm.device_preprocess(
+        {k: jnp.asarray(v) for k, v in batch.items()}, None, train=False)
+    assert out["x1"].shape == (4, 257, 1004, 1)
+    assert out["x2"].dtype == jnp.float32
+    assert "x1_waveform" not in out
+    # determinism per (seed, epoch, index)
+    again = bundle.train.gather(np.arange(4))
+    np.testing.assert_array_equal(batch["x2"], again["x2"])
+    np.testing.assert_array_equal(batch["x1_waveform"],
+                                  again["x1_waveform"])
+
+
+def test_cremad_stream_spectrogram_matches_offline(tmp_path):
+    """The streamed-waveform device spectrogram equals the offline
+    cremad-audio pickle math for the same wav: the host tile/clip step
+    and the on-device DSP are the SAME functions in both paths."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import cremad as cm
+    from multimodal_clinical_tpu.ops.spectrogram import cremad_spectrogram
+
+    rng = np.random.default_rng(9)
+    raw = (rng.normal(scale=0.2, size=cm.SR * 2)
+           .clip(-1, 1).astype(np.float32))
+    # both pipelines read the SAME 16-bit wav, so quantize first (the
+    # offline cmd_cremad_audio path decodes int16 too)
+    pcm = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
+    wav = (pcm / 32768.0).astype(np.float32)
+    # offline pipeline half (tools/preprocess.py cmd_cremad_audio)
+    reps = int(np.ceil(cm.SR * cm.TILE_SEC / len(wav)))
+    tiled = np.clip(np.tile(wav, reps)[: cm.SR * cm.TILE_SEC], -1.0, 1.0)
+    offline = np.asarray(cremad_spectrogram(jnp.asarray(tiled[None])))[0]
+
+    # streaming corpus: wav on disk + a video for the frame modality
+    adir = tmp_path / "audio"
+    adir.mkdir()
+    with wave.open(str(adir / "1001_IEO_NEU_XX.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(cm.SR)
+        w.writeframes(pcm.tobytes())
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "1001_IEO_NEU_XX.mp4"), _frames(), FPS,
+                        None, cm.SR)
+    (tmp_path / "train.csv").write_text("1001_IEO_NEU_XX,NEU\n")
+    (tmp_path / "test.csv").write_text("1001_IEO_NEU_XX,NEU\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 6
+        seed = 0
+
+    bundle = cm.get_data(Args())
+    batch = bundle.train.gather(np.arange(1))
+    out = cm.device_preprocess(
+        {k: jnp.asarray(v) for k, v in batch.items()}, None, train=False)
+    got = np.asarray(out["x1"])[0, ..., 0]
+    np.testing.assert_allclose(got, offline, atol=1e-5)
+
+
 def test_transform_frame_array_variants():
     """Array-input train/eval transforms (the streaming path's twins of
     load_frame_{train,eval}_u8) keep shape/dtype contracts and are
