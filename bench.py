@@ -251,45 +251,53 @@ def bench_food101_e2e(batch=128, steps=12, warmup=3):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _device_responsive(timeout_sec: float = 600.0) -> bool:
+def _device_responsive(timeout_sec: float = 900.0):
     """Watchdog for the remote-TPU tunnel: run a trivial matmul in a
     daemon thread and give it ``timeout_sec`` to produce a host scalar.
     When the tunnel's remote side is down (observed on this image), every
     device op blocks FOREVER — without this guard the driver's bench run
-    would hang with no artifact at all.  10 min is far beyond a cold
-    remote-compile of an (8, 8) matmul, so a timeout means environment
-    failure, not a slow compile.  Disable with MMCT_TUNNEL_PROBE=0."""
+    would hang with no artifact at all.  15 min sits above the documented
+    1-10 min cold-compile ceiling (CLAUDE.md), so a timeout means
+    environment failure, not a slow compile.  A probe EXCEPTION (backend
+    init error) is reported immediately with the real message instead of
+    burning the timeout.  Disable with MMCT_TUNNEL_PROBE=0.
+
+    Returns None when responsive, else the error string."""
     import threading
 
     done = threading.Event()
+    err = []
 
     def _probe():
         try:
             x = jnp.ones((8, 8))
             float((x @ x).sum())
-            done.set()
-        except Exception:
-            pass  # fall through to the timeout verdict
+        except Exception as exc:  # noqa: BLE001 — reported verbatim
+            err.append(f"device probe failed: {type(exc).__name__}: {exc}")
+        done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    return done.wait(timeout_sec)
+    if not done.wait(timeout_sec):
+        return (f"device unresponsive: a trivial (8,8) matmul did not "
+                f"complete in {timeout_sec:.0f} s (above the documented "
+                "1-10 min cold-compile ceiling) — the remote-TPU tunnel "
+                "is down; environment failure, not a framework regression")
+    return err[0] if err else None
 
 
 def main(batch=224, warmup=3, iters=20):
-    if (os.environ.get("MMCT_TUNNEL_PROBE", "1") != "0"
-            and not _device_responsive()):
-        print(json.dumps({
-            "metric": "vggsound_train_samples_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "samples/sec",
-            "vs_baseline": 0.0,
-            "error": ("device unresponsive: a trivial (8,8) matmul did not "
-                      "complete in 600 s — the remote-TPU tunnel is down "
-                      "(environment failure, not a framework regression); "
-                      "last good measurement: 1501 samples/s = 3.83x "
-                      "(ROADMAP.md, BENCH_r02.json)"),
-        }))
-        raise SystemExit(1)
+    if os.environ.get("MMCT_TUNNEL_PROBE", "1") != "0":
+        problem = _device_responsive()
+        if problem is not None:
+            print(json.dumps({
+                "metric": "vggsound_train_samples_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "samples/sec",
+                "vs_baseline": 0.0,
+                "error": problem + "; last good measurement: 1501 "
+                         "samples/s = 3.83x (ROADMAP.md, BENCH_r02.json)",
+            }))
+            raise SystemExit(1)
 
     from multimodal_clinical_tpu.benchmarks.vggsound_fixture import (
         build_vggsound_bench,

@@ -218,21 +218,46 @@ def _audio_mode(data_dir: str) -> str:
     return "stream"
 
 
-def _stream_admissible(data_dir: str, clip_id: str) -> bool:
-    """Streaming-mode admission: a wav, or a video container whose audio
-    the libav module can decode (probed per file — cheap header read;
-    admission implies gather cannot fail)."""
-    if os.path.exists(os.path.join(data_dir, "audio", clip_id + ".wav")):
-        return True
-    path = _find_video(data_dir, clip_id)
-    if path is None:
-        return False
-    from ..utils import avdecode
+class _StreamProbe:
+    """Memoized per-CORPUS decodability verdicts (datasets are
+    codec-homogeneous, so one avformat probe of the first container
+    answers for all ~7,400 clips — per-clip admission then only costs
+    os.path existence checks, like the vggsound adapter's
+    _mp4_streamable)."""
 
-    return avdecode.available() and avdecode.can_decode_stream(path, "audio")
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+        self._verdict = None  # (audio_ok, video_ok) once probed
+
+    def _probe(self, sample_path: str):
+        if self._verdict is None:
+            from ..utils import avdecode
+
+            if not avdecode.available():
+                self._verdict = (False, False)
+            else:
+                self._verdict = (
+                    avdecode.can_decode_stream(sample_path, "audio"),
+                    avdecode.can_decode_stream(sample_path, "video"))
+        return self._verdict
+
+    def admissible(self, clip_id: str) -> bool:
+        """Both modalities must be reachable so gather cannot fail:
+        audio = wav or decodable container track; frames = extracted
+        image/<clip>/ dir or decodable container video stream."""
+        video = _find_video(self.data_dir, clip_id)
+        audio_ok, video_ok = self._probe(video) if video else (False, False)
+        has_wav = os.path.exists(
+            os.path.join(self.data_dir, "audio", clip_id + ".wav"))
+        if not (has_wav or (video and audio_ok)):
+            return False
+        has_frames = os.path.isdir(
+            os.path.join(self.data_dir, "image", clip_id))
+        return has_frames or bool(video and video_ok)
 
 
-def _read_split(data_dir: str, csv_name: str, audio_mode: str = "pkl"):
+def _read_split(data_dir: str, csv_name: str, audio_mode: str = "pkl",
+                stream_probe=None):
     items = []
     with open(os.path.join(data_dir, csv_name)) as f:
         for row in csv.reader(f):
@@ -245,7 +270,7 @@ def _read_split(data_dir: str, csv_name: str, audio_mode: str = "pkl"):
                 ok = os.path.exists(os.path.join(data_dir, "audio_spec",
                                                  clip_id + ".pkl"))
             else:
-                ok = _stream_admissible(data_dir, clip_id)
+                ok = stream_probe.admissible(clip_id)
             if ok:
                 items.append((clip_id, _CLASSES[cls]))
     return items
@@ -256,16 +281,20 @@ def get_data(args) -> DataBundle:
     seed = int(getattr(args, "seed", 0))
     if os.path.exists(os.path.join(data_dir, "train.csv")):
         mode = _audio_mode(data_dir)
-        train_items = _read_split(data_dir, "train.csv", mode)
-        test_items = _read_split(data_dir, "test.csv", mode)
+        probe = _StreamProbe(data_dir) if mode == "stream" else None
+        train_items = _read_split(data_dir, "train.csv", mode, probe)
+        test_items = _read_split(data_dir, "test.csv", mode, probe)
         for name, split in (("train", train_items), ("test", test_items)):
             if not split:
                 raise FileNotFoundError(
                     f"{data_dir}{name}.csv exists but 0 clips were "
                     "admitted: each clip needs audio_spec/<clip>.pkl "
                     "(tools/preprocess.py cremad-audio), or — for the "
-                    "zero-offline-stage path — audio/<clip>.wav or a "
-                    "libav-decodable video/<clip>.mp4|.flv")
+                    "zero-offline-stage path — BOTH audio "
+                    "(audio/<clip>.wav or a libav-decodable container "
+                    "track) AND frames (image/<clip>/ dir or a "
+                    "libav-decodable video stream in "
+                    "video/<clip>.mp4|.flv)")
         train = CremadDiskDataset(data_dir, train_items, True, seed, mode)
         test = CremadDiskDataset(data_dir, test_items, False, seed, mode)
         val = test  # reference quirk: val IS test (cremad/get_data.py:160-166)

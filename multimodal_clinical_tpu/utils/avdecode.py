@@ -30,6 +30,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -42,13 +43,27 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libavdecode.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_mutex = threading.Lock()  # first-use load can race loader/extraction
+#                                 worker threads (--jobs pools)
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
-    if _lib is not None or _tried:
+    if _tried:  # fast path: load already resolved either way
         return _lib
-    _tried = True
+    with _load_mutex:
+        if _tried:
+            return _lib
+        try:
+            return _load_locked()
+        finally:
+            # set LAST (under the mutex) so the lock-free fast path can
+            # never observe _tried=True with the load still in flight
+            _tried = True
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib
     if os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
         # make is a no-op when the .so is current; it silently skips the
         # libav target on hosts without the FFmpeg dev headers.  flock

@@ -526,6 +526,31 @@ def test_cremad_zero_stage_corpus(tmp_path):
                                   again["x1_waveform"])
 
 
+def test_cremad_streaming_admission_requires_frames(tmp_path):
+    """Streaming-mode admission must check BOTH modalities: a clip whose
+    audio is reachable (audio-only mp4) but whose frames are not (no
+    image/ dir, no video stream) must be rejected at get_data time with
+    the actionable error — not crash later in a prefetch thread."""
+    import pytest
+
+    from multimodal_clinical_tpu.benchmarks import cremad as cm
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "1001_IEO_NEU_XX.mp4"), None, FPS,
+                        _tone(), SR)  # audio-only container
+    (tmp_path / "train.csv").write_text("1001_IEO_NEU_XX,NEU\n")
+    (tmp_path / "test.csv").write_text("1001_IEO_NEU_XX,NEU\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 6
+        seed = 0
+
+    with pytest.raises(FileNotFoundError, match="AND frames"):
+        cm.get_data(Args())
+
+
 def test_cremad_stream_spectrogram_matches_offline(tmp_path):
     """The streamed-waveform device spectrogram equals the offline
     cremad-audio pickle math for the same wav: the host tile/clip step
@@ -542,9 +567,8 @@ def test_cremad_stream_spectrogram_matches_offline(tmp_path):
     # offline cmd_cremad_audio path decodes int16 too)
     pcm = np.clip(raw * 32768.0, -32768, 32767).astype(np.int16)
     wav = (pcm / 32768.0).astype(np.float32)
-    # offline pipeline half (tools/preprocess.py cmd_cremad_audio)
-    reps = int(np.ceil(cm.SR * cm.TILE_SEC / len(wav)))
-    tiled = np.clip(np.tile(wav, reps)[: cm.SR * cm.TILE_SEC], -1.0, 1.0)
+    # offline pipeline half — cmd_cremad_audio calls this same function
+    tiled = cm._tile_clip_waveform(wav, "ref")
     offline = np.asarray(cremad_spectrogram(jnp.asarray(tiled[None])))[0]
 
     # streaming corpus: wav on disk + a video for the frame modality

@@ -284,7 +284,6 @@ def cmd_cremad_audio(args):
 
     os.makedirs(args.out, exist_ok=True)
     wavs = sorted(f for f in os.listdir(args.wav_dir) if f.endswith(".wav"))
-    target_len = TARGET_SR * 10  # ~10 s tiled window like the reference
     batch, names = [], []
 
     def flush():
@@ -305,15 +304,18 @@ def cmd_cremad_audio(args):
         batch.clear()
         names.clear()
 
+    # the SAME host half the adapter's zero-offline-stage streaming mode
+    # uses (benchmarks/cremad.py), so the pickles and the on-device path
+    # stay bit-comparable by construction
+    from multimodal_clinical_tpu.benchmarks.cremad import _tile_clip_waveform
+
     for name in wavs:
         wav = _read_wav_mono(os.path.join(args.wav_dir, name))
         if len(wav) == 0:
             raise ValueError(
                 f"{os.path.join(args.wav_dir, name)}: empty wav (corrupt "
                 f"or zero-length decode)")
-        reps = int(np.ceil(target_len / max(len(wav), 1)))
-        wav = np.clip(np.tile(wav, reps)[:target_len], -1.0, 1.0)
-        batch.append(wav)
+        batch.append(_tile_clip_waveform(wav, name))
         names.append(name)
         if len(batch) == args.batch_size:
             flush()
@@ -406,9 +408,11 @@ def cmd_mp4_to_wav(args):
     backend = _pick_backend(getattr(args, "backend", "auto"))
     os.makedirs(args.out, exist_ok=True)
     segments = _load_segments(getattr(args, "segments", None))
-    _print_census(args.video_dir, (".mp4", ".mov"), "audio", backend)
+    # .flv included: raw Crema-D ships VideoFlash containers (the census's
+    # native prober reports them as unreadable; libav/ffmpeg decode them)
+    _print_census(args.video_dir, (".mp4", ".mov", ".flv"), "audio", backend)
     videos = sorted(f for f in os.listdir(args.video_dir)
-                    if f.endswith((".mp4", ".mov")))
+                    if f.endswith((".mp4", ".mov", ".flv")))
 
     def _one(name: str) -> None:
         clip = os.path.splitext(name)[0]
@@ -738,7 +742,7 @@ def main(argv=None):
     s.set_defaults(fn=lambda a: (
         _print_census(a.video_dir, (".mp4", ".mov", ".flv", ".avi"),
                       "video", _pick_backend("auto")),
-        _print_census(a.video_dir, (".mp4", ".mov"), "audio",
+        _print_census(a.video_dir, (".mp4", ".mov", ".flv"), "audio",
                       _pick_backend("auto")),
     ))
 
