@@ -353,6 +353,13 @@ class Trainer:
                 self.ckpt.maybe_save(self.state, val_acc)
             self.ckpt.save_last(self.state, epochs_done=epoch + 1,
                                 steps_per_epoch=steps_per_epoch)
+        # fit() returning means the run's state is DURABLE: commit the
+        # final async save and swap it over its final name now.  Without
+        # this, a checkpointer constructed afterwards (a follow-up resume
+        # in the same process, or another run sharing the ckpt_dir) sees
+        # an uncommitted last-N.pending and _recover_pending sweeps the
+        # still-in-flight save as crash debris.
+        self.ckpt.wait()
         return last_val
 
     def test(self, restore_best: bool = True) -> Dict[str, float]:

@@ -290,6 +290,20 @@ def test_profiler_trace_capture(tmp_path):
     assert any(f.endswith((".pb", ".json.gz")) for f in files), files
 
 
+def test_fit_commits_final_checkpoint_before_returning(tmp_path):
+    """fit() must leave the final rolling checkpoint COMMITTED (no
+    .pending debris): a checkpointer constructed afterwards runs
+    _recover_pending, which sweeps uncommitted pendings as crash debris —
+    an in-flight final save would be silently destroyed (the race that
+    made resume() flaky under load)."""
+    args = make_args(num_epochs=1, batch_size=16, ckpt_dir=str(tmp_path))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    names = os.listdir(trainer.ckpt.ckpt_dir)
+    assert not [n for n in names if n.endswith(".pending")], names
+    assert [n for n in names if n.startswith("last-")], names
+
+
 def test_resume_ignores_meta_ahead_of_checkpoint(tmp_path):
     """Crash between the meta.json write and the (async) checkpoint
     commit: metadata describes a NEWER step than any restorable state.
