@@ -52,9 +52,9 @@ TILE_SEC = 10  # tile-to->=10s window (cremad/video_preprocessing.py:113-118)
 _VIDEO_EXTS = (".mp4", ".mov", ".flv")  # raw Crema-D ships VideoFlash .flv
 
 
-def _find_video(data_dir: str, clip_id: str):
+def _find_video(data_dir: str, clip_id: str, video_dir: str = "video"):
     for ext in _VIDEO_EXTS:
-        path = os.path.join(data_dir, "video", clip_id + ext)
+        path = os.path.join(data_dir, video_dir, clip_id + ext)
         if os.path.exists(path):
             return path
     return None
@@ -80,9 +80,18 @@ class CremadDiskDataset:
     first ``num_frames`` frames of each clip dir (the reference reads
     os.listdir order; we sort for determinism).  Decoding runs on the host
     prefetch thread (native libjpeg for the eval exact-resize path).
+
+    On-disk layout is parameterized by class attributes so subclasses can
+    serve reference corpora with other directory names (AVE:
+    ``Audio-1004-SE``/``Image-01-FPS-SE``/``AVE``/``Audios``,
+    ave/get_data.py:66-95).
     """
 
     num_frames = 3  # PMR protocol (cremad/get_data.py:117)
+    audio_pkl_dir = "audio_spec"
+    image_dir = "image"
+    video_dir = "video"
+    wav_dir = "audio"
 
     def __init__(self, data_dir: str, items, train: bool, seed: int = 0,
                  audio_mode: str = "pkl"):
@@ -106,6 +115,21 @@ class CremadDiskDataset:
     def _frame_names(self, frame_dir):
         return sorted(os.listdir(frame_dir))[: self.num_frames]
 
+    def _find_video(self, clip_id: str):
+        return _find_video(self.data_dir, clip_id, self.video_dir)
+
+    def _stream_ticks(self, clip_id: str):
+        """(start, end) seconds of the 1 FPS tick grid to stream frames
+        from.  Crema-D reads from the clip head (the extraction would have
+        written the whole grid and get_data.py:117 picks the first 3
+        files); end=None early-stops after num_frames ticks."""
+        return 0.0, None
+
+    def _window_waveform(self, wav: np.ndarray, clip_id: str) -> np.ndarray:
+        """Fixed 10 s training window from a decoded 16 kHz waveform.
+        Crema-D: tile the whole clip (video_preprocessing.py:113-118)."""
+        return _tile_clip_waveform(wav, clip_id)
+
     def _load_frames(self, clip_id: str, rng) -> np.ndarray:
         # uint8 pre-normalization frames: ToTensor/Normalize runs on device
         # (device_preprocess below) — 2x fewer H2D bytes than bf16, 4x
@@ -113,7 +137,7 @@ class CremadDiskDataset:
         # post-resize uint8 stage (cremad/get_data.py:94-109)
         from ..data.imageops import load_frame_eval_u8, load_frame_train_u8
 
-        frame_dir = os.path.join(self.data_dir, "image", clip_id)
+        frame_dir = os.path.join(self.data_dir, self.image_dir, clip_id)
         frames = []
         if os.path.isdir(frame_dir):
             for name in self._frame_names(frame_dir):
@@ -129,7 +153,7 @@ class CremadDiskDataset:
             # name instead of an IndexError deep in a prefetch thread
             raise FileNotFoundError(
                 f"clip {clip_id!r}: no frames under {frame_dir!r} and no "
-                f"streamable video/{clip_id}.mp4|.flv "
+                f"streamable {self.video_dir}/{clip_id}.mp4|.flv "
                 f"(frame extraction incomplete?)")
         while len(frames) < self.num_frames:
             frames.append(frames[-1])
@@ -145,11 +169,14 @@ class CremadDiskDataset:
                                      transform_frame_train_u8)
         from ..utils import avdecode
 
-        path = _find_video(self.data_dir, clip_id)
+        path = self._find_video(clip_id)
         if path is None or not avdecode.available():
             return []
+        start, end = self._stream_ticks(clip_id)
         frames = []
-        for frame, _tick in avdecode.decode_frames_at_fps(path, 1.0):
+        for frame, _tick in avdecode.decode_frames_at_fps(path, 1.0,
+                                                          start=start,
+                                                          end=end):
             frames.append(
                 transform_frame_train_u8(frame, rng) if self.train
                 else transform_frame_eval_u8(frame))
@@ -158,24 +185,27 @@ class CremadDiskDataset:
         return frames
 
     def _load_audio_waveform(self, clip_id: str) -> np.ndarray:
-        """Streaming audio mode: 16 kHz mono from audio/<clip>.wav, else
-        any-codec decode straight from video/<clip>.mp4|.flv (libav)."""
+        """Streaming audio mode: 16 kHz mono from <wav_dir>/<clip>.wav,
+        else any-codec decode straight from the video container (libav);
+        the per-dataset ``_window_waveform`` cuts the 10 s window."""
         from ..utils.native import resample_linear
 
-        wav_path = os.path.join(self.data_dir, "audio", clip_id + ".wav")
+        wav_path = os.path.join(self.data_dir, self.wav_dir,
+                                clip_id + ".wav")
         if os.path.exists(wav_path):
             from .vggsound import _read_wav
 
-            return _tile_clip_waveform(_read_wav(wav_path), clip_id)
-        path = _find_video(self.data_dir, clip_id)
+            return self._window_waveform(_read_wav(wav_path), clip_id)
+        path = self._find_video(clip_id)
         if path is None:
             raise FileNotFoundError(
-                f"clip {clip_id!r}: no audio_spec pickle, no "
-                f"audio/{clip_id}.wav, no video container")
+                f"clip {clip_id!r}: no {self.audio_pkl_dir} pickle, no "
+                f"{self.wav_dir}/{clip_id}.wav, no video container")
         from ..utils import avdecode
 
         audio, sr = avdecode.read_audio_mono(path)
-        return _tile_clip_waveform(resample_linear(audio, sr, SR), clip_id)
+        return self._window_waveform(resample_linear(audio, sr, SR),
+                                     clip_id)
 
     def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         from ..data.core import sample_rng
@@ -184,7 +214,7 @@ class CremadDiskDataset:
         for i in indices:
             clip_id, label = self.items[int(i)]
             if self.audio_mode == "pkl":
-                with open(os.path.join(self.data_dir, "audio_spec",
+                with open(os.path.join(self.data_dir, self.audio_pkl_dir,
                                        clip_id + ".pkl"), "rb") as f:
                     spec = pickle.load(f)
                 specs.append(np.asarray(spec, np.float32)[..., None])
@@ -223,10 +253,12 @@ class _StreamProbe:
     codec-homogeneous, so one avformat probe of the first container
     answers for all ~7,400 clips — per-clip admission then only costs
     os.path existence checks, like the vggsound adapter's
-    _mp4_streamable)."""
+    _mp4_streamable).  ``dataset_cls`` supplies the on-disk layout
+    (Crema-D default; AVE passes AveDiskDataset)."""
 
-    def __init__(self, data_dir: str):
+    def __init__(self, data_dir: str, dataset_cls=None):
         self.data_dir = data_dir
+        self.cls = dataset_cls or CremadDiskDataset
         self._verdict = None  # (audio_ok, video_ok) once probed
 
     def _probe(self, sample_path: str):
@@ -244,16 +276,24 @@ class _StreamProbe:
     def admissible(self, clip_id: str) -> bool:
         """Both modalities must be reachable so gather cannot fail:
         audio = wav or decodable container track; frames = extracted
-        image/<clip>/ dir or decodable container video stream."""
-        video = _find_video(self.data_dir, clip_id)
+        frame dir or decodable container video stream."""
+        video = _find_video(self.data_dir, clip_id, self.cls.video_dir)
         audio_ok, video_ok = self._probe(video) if video else (False, False)
         has_wav = os.path.exists(
-            os.path.join(self.data_dir, "audio", clip_id + ".wav"))
+            os.path.join(self.data_dir, self.cls.wav_dir, clip_id + ".wav"))
         if not (has_wav or (video and audio_ok)):
             return False
         has_frames = os.path.isdir(
-            os.path.join(self.data_dir, "image", clip_id))
+            os.path.join(self.data_dir, self.cls.image_dir, clip_id))
         return has_frames or bool(video and video_ok)
+
+    def streamable_frames(self, clip_id: str) -> bool:
+        """True when the clip's container has a decodable video stream
+        (used by pkl-mode admission when the frame dir is absent)."""
+        video = _find_video(self.data_dir, clip_id, self.cls.video_dir)
+        if not video:
+            return False
+        return self._probe(video)[1]
 
 
 def _read_split(data_dir: str, csv_name: str, audio_mode: str = "pkl",

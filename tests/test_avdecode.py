@@ -599,6 +599,55 @@ def test_cremad_stream_spectrogram_matches_offline(tmp_path):
     np.testing.assert_allclose(got, offline, atol=1e-5)
 
 
+def test_ave_zero_stage_corpus_segment_aware(tmp_path):
+    """AVE over a raw-download-shaped corpus: AVE/<clip>.mp4 containers +
+    Annotations.txt ONLY — no Audio-1004-SE pickles, no Image-01-FPS-SE
+    dirs.  Frames must come from the segment's 1 FPS ticks (start..end
+    inclusive, video2frame_update_SE's num_count window) and audio from
+    the [start, end) s slice tiled to 10 s (extractWav_SE)."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import ave as av
+
+    vdir = tmp_path / "AVE"
+    vdir.mkdir()
+    avdecode.encode_mp4(str(vdir / "clipA.mp4"), _frames(), FPS,
+                        _tone(3.0), SR)
+    (tmp_path / "Annotations.txt").write_text(
+        "category&video&quality&start&end\nDog&clipA&good&1&2\n")
+    for txt in ("trainSet.txt", "valSet.txt", "testSet.txt"):
+        (tmp_path / txt).write_text("Dog&clipA&good&1&2\n")
+
+    class Args:
+        data_path = str(tmp_path) + "/"
+        num_classes = 1
+        seed = 0
+
+    bundle = av.get_data(Args())
+    assert not bundle.synthetic
+    assert len(bundle.train) == len(bundle.test) == 1
+    batch = bundle.test.gather(np.array([0]))
+    assert batch["x1_waveform"].shape == (1, SR * 10)
+    assert batch["x2"].shape == (1, 6, 224, 224, 3)
+    assert batch["x2"].dtype == np.uint8
+    # segment [1, 2] at the 1 FPS grid -> ticks 1 and 2 = source frames
+    # 4 and 8 (4 fps fixture); the short yield pads by repeating the last
+    f0 = batch["x2"][0, 0].astype(int).mean(axis=(0, 1))
+    assert np.abs(f0 - np.array(COLORS[4])).max() < 16.0, f0
+    f1 = batch["x2"][0, 1].astype(int).mean(axis=(0, 1))
+    assert np.abs(f1 - np.array(COLORS[8])).max() < 16.0, f1
+    np.testing.assert_array_equal(batch["x2"][0, 2], batch["x2"][0, 1])
+    np.testing.assert_array_equal(batch["x2"][0, 5], batch["x2"][0, 1])
+    # audio: the 1 s SE slice of the tone tiled to 10 s keeps the peak
+    spec = np.abs(np.fft.rfft(batch["x1_waveform"][0][:SR]))
+    assert abs(np.argmax(spec) - TONE_HZ) <= 2
+    # the device half lands on the pickle geometry (257, 1004)
+    out = av.device_preprocess(
+        {k: jnp.asarray(v) for k, v in batch.items()}, None, train=False)
+    assert out["x1"].shape == (1, 257, 1004, 1)
+    assert "x1_waveform" not in out
+
+
 def test_transform_frame_array_variants():
     """Array-input train/eval transforms (the streaming path's twins of
     load_frame_{train,eval}_u8) keep shape/dtype contracts and are

@@ -164,13 +164,15 @@ def test_enrico_real_layout_u8_init_and_step(tmp_path):
 
 
 def test_ave_loads_six_distinct_frames(tmp_path):
+    """AVE reads the REFERENCE on-disk layout: Audio-1004-SE/<clip>.pkl
+    + Image-01-FPS-SE/<clip>/ (ave/get_data.py:66-95), 6 frames."""
     from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
 
     d = tmp_path
-    os.makedirs(d / "audio_spec")
-    with open(d / "audio_spec" / "clip.pkl", "wb") as f:
+    os.makedirs(d / "Audio-1004-SE")
+    with open(d / "Audio-1004-SE" / "clip.pkl", "wb") as f:
         pickle.dump(np.zeros((257, 1004), np.float32), f)
-    _write_frames(str(d / "image" / "clip"), 8)
+    _write_frames(str(d / "Image-01-FPS-SE" / "clip"), 8)
 
     ds = AveDiskDataset(str(d), [("clip", 0)], train=False, seed=0)
     batch = ds.gather(np.array([0]))
@@ -179,6 +181,90 @@ def test_ave_loads_six_distinct_frames(tmp_path):
     # 6 DISTINCT frames (each f{i}.jpg has a different red level)
     reds = [float(frames[i, :, :, 0].mean()) for i in range(6)]
     assert len({round(r, 3) for r in reds}) == 6
+
+
+def test_ave_real_layout_admission_and_class_order(tmp_path):
+    """get_data over a reference-layout AVE corpus: class ids follow
+    FIRST-APPEARANCE order in testSet.txt (ave/get_data.py:79-87, not
+    sorted), repeated clips are deduped (:97-100), and clips missing
+    either modality artifact are skipped (:95-101)."""
+    from multimodal_clinical_tpu.benchmarks import ave
+
+    d = tmp_path
+    os.makedirs(d / "Audio-1004-SE")
+
+    def _mk(clip, with_pkl=True, with_frames=True):
+        if with_pkl:
+            with open(d / "Audio-1004-SE" / f"{clip}.pkl", "wb") as f:
+                pickle.dump(np.zeros((257, 1004), np.float32), f)
+        if with_frames:
+            _write_frames(str(d / "Image-01-FPS-SE" / clip), 6)
+
+    for clip in ("vidA", "vidB", "vidC"):
+        _mk(clip)
+    _mk("vidNoPkl", with_pkl=False)
+    _mk("vidNoFrames", with_frames=False)
+
+    # Zebra before Aardvark: sorted() would swap the ids
+    (d / "testSet.txt").write_text(
+        "Zebra&vidA&good&0&10\nAardvark&vidB&good&0&10\n"
+        "Zebra&vidC&good&0&10\n")
+    (d / "trainSet.txt").write_text(
+        "Zebra&vidA&good&0&10\nZebra&vidA&good&0&10\n"  # dup row
+        "Aardvark&vidB&good&0&10\n"
+        "Zebra&vidNoPkl&good&0&10\nAardvark&vidNoFrames&good&0&10\n")
+    (d / "valSet.txt").write_text("Aardvark&vidB&good&0&10\n")
+
+    args = SimpleNamespace(data_path=str(d) + "/", seed=0, num_classes=2)
+    bundle = ave.get_data(args)
+    assert not bundle.synthetic
+    train_map = dict(bundle.train.items)
+    assert train_map == {"vidA": 0, "vidB": 1}  # Zebra=0 (first seen)
+    assert len(bundle.train) == 2  # dup + 2 missing-artifact clips dropped
+    assert len(bundle.val) == 1 and len(bundle.test) == 3
+    batch = bundle.train.gather(np.array([0, 1]))
+    assert batch["x1"].shape == (2, 257, 1004, 1)
+    assert batch["x2"].shape == (2, 6, 224, 224, 3)
+    assert batch["x2"].dtype == np.uint8
+
+
+def test_ave_window_waveform_matches_reference_math():
+    """AveDiskDataset._window_waveform replicates extractWav_SE's host
+    math (ave/video_preprocessing.py:254-266): slice [start, end) s,
+    tile x10, tile x10 again if still short, truncate to 10 s, clip."""
+    from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
+
+    sr, target = 16000, 160000
+    rng = np.random.default_rng(0)
+
+    def _reference(wav, start, end):
+        samples = wav[sr * start: sr * end]
+        res = np.tile(samples, 10)
+        res = (np.tile(res, 10)[:target] if len(res) < target
+               else res[:target])
+        return np.clip(res, -1.0, 1.0)
+
+    # 1 s segment: tile x10 lands exactly on 10 s (no second tile)
+    wav = (rng.normal(scale=0.6, size=sr * 3)).astype(np.float32)
+    ds = AveDiskDataset(".", [], train=False, segments={"c": (1, 2)})
+    np.testing.assert_allclose(ds._window_waveform(wav, "c"),
+                               _reference(wav, 1, 2), atol=0)
+
+    # segment longer than the wav tail: numpy slicing clamps, like the
+    # reference's samples[sr*start:sr*end]; second tile x10 kicks in
+    ds2 = AveDiskDataset(".", [], train=False, segments={"c": (2, 10)})
+    np.testing.assert_allclose(ds2._window_waveform(wav, "c"),
+                               _reference(wav, 2, 10), atol=0)
+
+    # empty segment is an actionable error, not an infinite-pad loop
+    ds3 = AveDiskDataset(".", [], train=False, segments={"c": (3, 3)})
+    with pytest.raises(ValueError, match="empty audio segment"):
+        ds3._window_waveform(wav, "c")
+
+    # no annotation row: video2frame_update_SE defaults (0, 10)
+    ds4 = AveDiskDataset(".", [], train=False)
+    np.testing.assert_allclose(ds4._window_waveform(wav, "c"),
+                               _reference(wav, 0, 10), atol=0)
 
 
 def test_cremad_train_vs_eval_transforms(tmp_path):
