@@ -44,6 +44,68 @@ def test_cremad_audio_spectrograms(tmp_path):
     assert abs(float(spec.std()) - 1.0) < 1e-2
 
 
+def test_ave_audio_se_pickles(tmp_path):
+    """ave-audio builds Audio-1004-SE pickles with the extractWav_SE
+    window math (ave/video_preprocessing.py:254-266): the pickle equals
+    the device spectrogram of the adapter's own SE-windowed waveform —
+    the bit-comparability contract between the offline stage and the
+    zero-offline-stage streaming path."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
+    from multimodal_clinical_tpu.ops.spectrogram import cremad_spectrogram
+
+    d = tmp_path
+    (d / "Audios").mkdir()
+    rng = np.random.default_rng(1)
+    wavs = {}
+    for i, clip in enumerate(("clipA", "clipB", "clipC")):
+        wavs[clip] = rng.normal(
+            scale=0.1, size=16000 * 3).astype(np.float32)
+        _write_wav(str(d / "Audios" / f"{clip}.wav"), wavs[clip])
+    (d / "Annotations.txt").write_text(
+        "category&video&quality&start&end\n"
+        "Dog&clipA&good&1&2\nCat&clipB&good&0&3\nDog&clipC&good&0&10\n"
+        "Dog&missing&good&0&10\n")  # no wav, no container: skipped
+
+    preprocess.main(["ave-audio", "--data-dir", str(d) + "/",
+                     "--batch-size", "2"])
+    out = d / "Audio-1004-SE"
+    assert sorted(os.listdir(out)) == ["clipA.pkl", "clipB.pkl",
+                                       "clipC.pkl"]
+    ds = AveDiskDataset(str(d) + "/", [], train=False,
+                        segments={"clipA": (1, 2)})
+    # the wav round-trips through int16; window the decoded form
+    from multimodal_clinical_tpu.benchmarks.vggsound import _read_wav
+
+    decoded = _read_wav(str(d / "Audios" / "clipA.wav"))
+    want = np.asarray(cremad_spectrogram(
+        jnp.asarray(ds._window_waveform(decoded, "clipA")[None])))[0]
+    with open(out / "clipA.pkl", "rb") as f:
+        got = pickle.load(f)
+    assert got.shape == (257, 1004)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_ave_segments_csv_windows(tmp_path):
+    """--for frames widens the inclusive tick window by +1 s; --for
+    audio keeps extractWav_SE's [start, end)."""
+    (tmp_path / "Annotations.txt").write_text(
+        "header\nDog&clipA&good&1&4\nCat&clipB&good&0&10\n")
+    fcsv = tmp_path / "frames.csv"
+    acsv = tmp_path / "audio.csv"
+    preprocess.main(["ave-segments", "--data-dir", str(tmp_path) + "/",
+                     "--out", str(fcsv), "--for", "frames"])
+    preprocess.main(["ave-segments", "--data-dir", str(tmp_path) + "/",
+                     "--out", str(acsv), "--for", "audio"])
+    with open(fcsv) as f:
+        assert list(csv.reader(f)) == [["clipA", "1", "5"],
+                                       ["clipB", "0", "11"]]
+    with open(acsv) as f:
+        assert list(csv.reader(f)) == [["clipA", "1", "4"],
+                                       ["clipB", "0", "10"]]
+
+
 def test_check_frames_and_fix_missing(tmp_path, capsys):
     root = tmp_path / "frames"
     for clip, n in (("a", 6), ("b", 2)):

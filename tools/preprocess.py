@@ -6,6 +6,13 @@ Subcommands mirror the reference's run-once scripts (SURVEY §2.3 L0):
                   ON DEVICE in batches via ops/spectrogram.cremad_spectrogram
                   (replaces cremad/video_preprocessing.py:111-130's
                   librosa/scipy host loop)
+  ave-audio       AVE SE audio stage: Annotations.txt-windowed waveforms
+                  (Audios/ wavs or in-process container decode) ->
+                  Audio-1004-SE/<clip>.pkl spectrograms on device
+                  (ave/video_preprocessing.py extractWav_SE:244-279)
+  ave-segments    Annotations.txt -> the clip,start,end csv that
+                  video-frames / mp4-to-wav consume (--for frames pads
+                  the inclusive tick window)
   video-frames    mp4 -> JPEG frames at a fixed FPS with a minimum count
                   (cremad/ave/vggsound video_preprocessing.py).  Backends:
                   ffmpeg when on PATH, else libav (native/libavdecode.so —
@@ -321,6 +328,88 @@ def cmd_cremad_audio(args):
             flush()
     flush()
     print(f"wrote {len(wavs)} spectrograms to {args.out}")
+
+
+def cmd_ave_audio(args):
+    """AVE offline audio stage (ave/video_preprocessing.py extractWav_SE:
+    244-279): per-clip Annotations.txt [start, end) s windows tiled to
+    10 s -> (257, 1004) log-spectrogram pickles in the ``Audio-1004-SE``
+    layout, spectrograms computed on device in batches.  Waveforms come
+    from Audios/<clip>.wav when the mp4-to-wav stage ran, else are
+    decoded in-process from AVE/<clip>.mp4 — via the SAME loader methods
+    the adapter's zero-offline-stage streaming mode uses
+    (benchmarks/ave.py), so pickles and the streamed path stay
+    bit-comparable by construction."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks.ave import (
+        AveDiskDataset, _read_annotations)
+    from multimodal_clinical_tpu.ops.spectrogram import cremad_spectrogram
+
+    segments = _read_annotations(args.data_dir)
+    if not segments:
+        raise FileNotFoundError(
+            f"{os.path.join(args.data_dir, 'Annotations.txt')}: missing "
+            "or empty — the SE pipeline needs per-clip start/end rows")
+    out = args.out or os.path.join(args.data_dir,
+                                   AveDiskDataset.audio_pkl_dir)
+    os.makedirs(out, exist_ok=True)
+    ds = AveDiskDataset(args.data_dir, [], train=False,
+                        audio_mode="stream", segments=segments)
+    batch, names = [], []
+
+    def flush():
+        if not batch:
+            return
+        # pad the tail to ONE program shape (see cmd_cremad_audio)
+        n_real = len(batch)
+        padded = batch + [batch[-1]] * (args.batch_size - n_real)
+        specs = np.asarray(
+            cremad_spectrogram(jnp.asarray(np.stack(padded))))[:n_real]
+        for name, spec in zip(names, specs):
+            with open(os.path.join(out, name + ".pkl"), "wb") as f:
+                pickle.dump(spec.astype(np.float32), f)
+        batch.clear()
+        names.clear()
+
+    done = 0
+    for clip in sorted(segments):
+        try:
+            wav = ds._load_audio_waveform(clip)
+        except FileNotFoundError:
+            print(f"[ave-audio] skip {clip}: no Audios/{clip}.wav and "
+                  f"no decodable AVE/{clip} container")
+            continue
+        batch.append(wav)
+        names.append(clip)
+        done += 1
+        if len(batch) == args.batch_size:
+            flush()
+    flush()
+    print(f"wrote {done} spectrograms to {out}")
+
+
+def cmd_ave_segments(args):
+    """Annotations.txt -> the clip,start,end csv the generic
+    video-frames / mp4-to-wav subcommands consume.  ``--for frames``
+    widens end by +1 s: the reference saves 1 FPS ticks with num_count
+    in [start, end] INCLUSIVE (ave/video_preprocessing.py:121-126) while
+    the csv consumers cut [start, end); ``--for audio`` keeps
+    [start, end) (extractWav_SE:254-257)."""
+    from multimodal_clinical_tpu.benchmarks.ave import _read_annotations
+
+    segments = _read_annotations(args.data_dir)
+    if not segments:
+        raise FileNotFoundError(
+            f"{os.path.join(args.data_dir, 'Annotations.txt')}: missing "
+            "or empty")
+    pad = 1 if args.target == "frames" else 0
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        for clip, (start, end) in sorted(segments.items()):
+            w.writerow([clip, start, end + pad])
+    print(f"wrote {len(segments)} segment rows ({args.target} windows) "
+          f"to {args.out}")
 
 
 def _resolve_jobs(args) -> int:
@@ -679,6 +768,24 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--batch-size", type=int, default=32)
     s.set_defaults(fn=cmd_cremad_audio)
+
+    s = sub.add_parser("ave-audio")
+    s.add_argument("--data-dir", required=True,
+                   help="AVE dataset root with Annotations.txt + "
+                        "Audios/ wavs and/or AVE/ containers")
+    s.add_argument("--out", default=None,
+                   help="default <data-dir>/Audio-1004-SE")
+    s.add_argument("--batch-size", type=int, default=32)
+    s.set_defaults(fn=cmd_ave_audio)
+
+    s = sub.add_parser("ave-segments")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--for", dest="target", choices=("frames", "audio"),
+                   default="frames",
+                   help="frames: inclusive-tick window [start, end+1); "
+                        "audio: extractWav_SE's [start, end)")
+    s.set_defaults(fn=cmd_ave_segments)
 
     s = sub.add_parser("video-frames")
     s.add_argument("--video-dir", required=True)
