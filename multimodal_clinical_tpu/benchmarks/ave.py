@@ -248,7 +248,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     elif model_type == "jprobas":
         spec = ModelSpec(module=module, contract="jprobas", **common)
     elif model_type == "ensemble":
-        spec = ModelSpec(module=module, contract="ensemble", **common)
+        # legacy dir: train loss is the MEAN (ave/ensemble_model.py:115)
+        spec = ModelSpec(module=module, contract="ensemble",
+                         ensemble_train_mean=True, **common)
     else:
         raise NotImplementedError(f"ave model_type {model_type!r}")
     return spec, {}

@@ -88,6 +88,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         contract=contract,
         eval_fusion="logits" if model_type == "jprobas_jlogits" else None,
         report_logprobs=(model_type == "ensemble_probas"),
+        # legacy dir trains on the MEAN of the per-modality losses
+        # (avmnist/ensemble_model.py:195, ensemble_model_probas.py:205)
+        ensemble_train_mean=True,
     )
     # legacy plain SGD (avmnist/joint_model.py:340-342)
     opt_kwargs = {"momentum": 0.0, "weight_decay": 0.0}

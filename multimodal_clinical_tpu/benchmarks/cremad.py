@@ -371,8 +371,13 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         spec = ModelSpec(module=module, contract="ogm_ge",
                          grad_mod_type=grad_mod, ogm_alpha=alpha)
     elif model_type == "ensemble_ogm_ge":
+        # the noised ensemble+OGM variant uses PLAIN CE (no x3.0 —
+        # cremad/ensemble_model_noised.py:56-57 builds FusionNet with a
+        # bare CrossEntropyLoss) and trains on the MEAN
+        # (ensemble_model_noised.py:104), unlike the plain cremad
+        # ensemble's scaled sum
         spec = ModelSpec(module=module, contract="ensemble",
-                         unimodal_loss_scale=3.0, apply_grad_mod=True,
+                         ensemble_train_mean=True, apply_grad_mod=True,
                          grad_mod_type=grad_mod, ogm_alpha=alpha)
     elif model_type == "qmf":
         spec = ModelSpec(module=module, contract="qmf",

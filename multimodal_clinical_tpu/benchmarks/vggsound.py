@@ -421,7 +421,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     elif model_type == "jprobas":
         spec = ModelSpec(module=module, contract="jprobas", **common)
     elif model_type == "ensemble":
-        spec = ModelSpec(module=module, contract="ensemble", **common)
+        # legacy dir: train loss is the MEAN (vggsound/ensemble_model.py:114)
+        spec = ModelSpec(module=module, contract="ensemble",
+                         ensemble_train_mean=True, **common)
     else:
         raise NotImplementedError(f"vggsound model_type {model_type!r}")
     return spec, {}

@@ -50,6 +50,12 @@ class ModelSpec:
     fusion_weights: Optional[Sequence[float]] = None
     # per-modality CE scale (cremad/ensemble_model.py:54-55 uses 3.0).
     unimodal_loss_scale: float = 1.0
+    # legacy ensemble dirs train on the MEAN of the per-modality losses
+    # ((x1_loss + x2_loss) / 2 — avmnist/ensemble_model.py:195,
+    # ave/ensemble_model.py:115, vggsound/ensemble_model.py:114,
+    # cremad/ensemble_model_noised.py:104) where the new-style
+    # EnsembleBaseModel trains on the SUM (utils/BaseModel.py:353).
+    ensemble_train_mean: bool = False
 
     # --- OGM-GE (ogm_ge contract, or ensemble_ogm_ge hybrid) ---
     grad_mod_type: Optional[str] = None   # None|'OGM_GE'|'OGM'|'noise'

@@ -120,6 +120,11 @@ def _train_loss(spec: ModelSpec, state: TrainState, batch: Batch, out, aux):
               for l in logits]
         if spec.fusion_weights is not None:
             loss = sum(w * c for w, c in zip(spec.fusion_weights, ce))
+        elif spec.ensemble_train_mean:
+            # legacy ensemble dirs train on the MEAN
+            # (avmnist/ensemble_model.py:195, ave/ensemble_model.py:115,
+            # vggsound/ensemble_model.py:114, cremad/ensemble_model_noised.py:104)
+            loss = sum(ce) / len(ce)
         else:
             loss = sum(ce)  # EnsembleBaseModel train loss is the SUM (BaseModel.py:353)
         fused = C.fuse_logits(logits, spec.fusion_weights)

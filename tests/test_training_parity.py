@@ -603,6 +603,118 @@ def test_ensemble_trajectory_with_ported_init(tmp_path):
                                              ours_epoch_losses)
 
 
+def test_legacy_ensemble_mean_trajectory_with_ported_init(tmp_path):
+    """Legacy ensemble contract trajectory parity: the avmnist/ave/vggsound
+    ensemble dirs train on the MEAN of the per-modality CE losses
+    ((x1_loss + x2_loss) / 2 — avmnist/ensemble_model.py:195,
+    ave/ensemble_model.py:115, vggsound/ensemble_model.py:114), unlike the
+    new-style EnsembleBaseModel's sum (utils/BaseModel.py:353).  Steps the
+    reference's own LeNet with the legacy mean semantics vs our ensemble
+    contract with ``ensemble_train_mean=True`` from ported inits."""
+    num_classes, batch, epochs, lr = 10, 32, 2, 0.05
+    train, _ = _make_data(n_train=256, num_classes=num_classes)
+
+    ref_joint = _load_reference_lenet()
+    torch.manual_seed(47)
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.x1_model = ref_joint.LeNet(1, 6, 3)
+            self.x2_model = ref_joint.LeNet(1, 6, 3)
+            self.classifier_x1 = torch.nn.Linear(48, num_classes)
+            self.classifier_x2 = torch.nn.Linear(48, num_classes)
+            self.loss_fn = torch.nn.CrossEntropyLoss()
+
+        def forward(self, x1, x2, label):
+            l1 = self.classifier_x1(torch.relu(self.x1_model(x1)))
+            l2 = self.classifier_x2(torch.relu(self.x2_model(x2)))
+            # legacy train loss: avg_loss = (x1_loss + x2_loss) / 2
+            # (avmnist/ensemble_model.py:195)
+            return (self.loss_fn(l1, label) + self.loss_fn(l2, label)) / 2
+
+    net = RefNet()
+    opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=1e-4)
+    tx1 = torch.tensor(train.modalities[0].transpose(0, 3, 1, 2))
+    tx2 = torch.tensor(train.modalities[1].transpose(0, 3, 1, 2))
+    ty = torch.tensor(train.labels.astype(np.int64))
+    net.train()
+    torch_epoch_losses = []
+    for _ in range(epochs):
+        losses = []
+        for start in range(0, len(ty), batch):
+            sl = slice(start, start + batch)
+            opt.zero_grad()
+            loss = net(tx1[sl], tx2[sl], ty[sl])
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        torch_epoch_losses.append(float(np.mean(losses)))
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.engine.metrics import EpochAccumulator
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models import torch_port
+
+    class SmallAVNet(nn.Module):
+        num_classes: int
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            from multimodal_clinical_tpu.models.common import TorchDense
+            from multimodal_clinical_tpu.models.lenet import LeNet
+
+            h1 = nn.relu(LeNet(6, 3, name="x1_model")(x1, train))
+            h2 = nn.relu(LeNet(6, 3, name="x2_model")(x2, train))
+            l1 = TorchDense(self.num_classes, name="classifier_x1")(h1)
+            l2 = TorchDense(self.num_classes, name="classifier_x2")(h2)
+            return {"logits": [l1, l2]}
+
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=lr, num_epochs=epochs,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(module=SmallAVNet(num_classes=num_classes),
+                     contract="ensemble", ensemble_train_mean=True)
+    sample = [jnp.asarray(train.modalities[0][:2]),
+              jnp.asarray(train.modalities[1][:2])]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=8)
+    torch.manual_seed(47)
+    sd = RefNet().state_dict()
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for tower in ("x1_model", "x2_model"):
+        p, st = torch_port.port_lenet(sd, num_blocks=4, prefix=f"{tower}.")
+        params[tower] = p
+        stats[tower] = st
+    for head in ("classifier_x1", "classifier_x2"):
+        params[head] = torch_port.port_torch_linear(
+            sd[f"{head}.weight"], sd[f"{head}.bias"])
+    state = state.replace(params=params, batch_stats=stats)
+
+    loader = Loader(train, batch, SequentialSampler(len(train)))
+    step = make_train_step(spec)
+    ours_epoch_losses = []
+    for _ in range(epochs):
+        acc = EpochAccumulator()
+        for b in loader:
+            state, metrics = step(state, b)
+            acc.append(metrics)
+        ours_epoch_losses.append(acc.summary()["train_loss"])
+
+    for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
+        assert abs(t_loss - o_loss) < 2e-2, (torch_epoch_losses,
+                                             ours_epoch_losses)
+
+
 def test_qmf_trajectory_with_ported_init(tmp_path):
     """QMF trajectory parity vs an independent torch implementation of the
     INTENDED QMF semantics (the reference's existing_algos/QMF.py body is
