@@ -5,7 +5,9 @@ Replaces the reference's host-side librosa/scipy pipelines:
     log(abs + 1e-7), computed per sample in DataLoader workers (the
     documented input bottleneck, SURVEY §7 "hard parts");
   * cremad/video_preprocessing.py:111-130 — scipy.signal.spectrogram
-    (nperseg=512, noverlap=353) -> log -> per-clip standardize (offline).
+    (nperseg=512, noverlap=353, scipy defaults: tukey(0.25) window,
+    constant detrend, one-sided density PSD) -> log -> per-clip
+    standardize (offline); same math at ave/video_preprocessing.py:267.
 
 Design: framing is a strided gather; windowing + DFT fold into ONE matmul
 ``frames (B*T, n_fft) x dft (n_fft, 2*n_bins)`` — exactly MXU shaped — then
@@ -79,22 +81,49 @@ def log_spectrogram(
     return out.reshape(b, t, n_fft // 2 + 1).transpose(0, 2, 1)
 
 
+def _tukey_periodic(M: int, alpha: float) -> np.ndarray:
+    """Periodic (fftbins=True) Tukey window — scipy.signal.get_window's
+    construction: tukey(M + 1, alpha, sym=True) truncated by one sample."""
+    n = np.arange(M + 1, dtype=np.float64)
+    m = M  # = (M + 1) - 1
+    width = int(np.floor(alpha * m / 2.0))
+    w = np.ones(M + 1, dtype=np.float64)
+    n1 = n[: width + 1]
+    w[: width + 1] = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * n1 / alpha / m)))
+    n3 = n[-(width + 1):]
+    w[-(width + 1):] = 0.5 * (
+        1 + np.cos(np.pi * (-2.0 / alpha + 1 + 2.0 * n3 / alpha / m))
+    )
+    return w[:-1]
+
+
 @partial(jax.jit,
-         static_argnames=("nperseg", "noverlap", "standardize", "eps"))
+         static_argnames=("nperseg", "noverlap", "fs", "standardize", "eps"))
 def cremad_spectrogram(
     waveform: jnp.ndarray,
     nperseg: int = 512,
     noverlap: int = 353,
+    fs: int = 16000,
     standardize: bool = True,
     eps: float = 1e-7,
 ) -> jnp.ndarray:
-    """scipy.signal.spectrogram equivalent (density PSD, tukey window
-    approximated by hann) -> log -> per-clip standardize, matching the
-    Crema-D offline pipeline (cremad/video_preprocessing.py:119-130)."""
+    """scipy.signal.spectrogram-exact PSD -> log -> per-clip standardize,
+    matching the Crema-D/AVE offline pipelines
+    (cremad/video_preprocessing.py:234-238, ave/video_preprocessing.py:267-271
+    — both at sr=16000).
+
+    Reproduces every scipy.signal.spectrogram default the reference relies
+    on: tukey(0.25) periodic window, per-segment constant detrend,
+    one-sided density scaling (x2 for all bins except DC and Nyquist,
+    /(fs * sum(win^2))), boundary=None/padded=False framing.  The final
+    standardization uses the reference's (std + 1e-9) guard.
+    """
     hop = nperseg - noverlap
     frames = frame_signal(waveform.astype(jnp.float32), nperseg, hop,
                           center=False)
-    win = jnp.asarray(np.hanning(nperseg + 1)[:-1], jnp.float32)
+    # detrend='constant': remove each segment's mean before windowing
+    frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    win = jnp.asarray(_tukey_periodic(nperseg, 0.25), jnp.float32)
     frames = frames * win
     cos_m, sin_m = _dft_matrices(nperseg)
     b, t, _ = frames.shape
@@ -102,10 +131,20 @@ def cremad_spectrogram(
     re = jnp.dot(flat, cos_m, preferred_element_type=jnp.float32)
     im = jnp.dot(flat, sin_m, preferred_element_type=jnp.float32)
     power = (re * re + im * im).reshape(b, t, nperseg // 2 + 1)
+    # scaling='density', mode='psd', one-sided (nperseg even -> last bin
+    # is Nyquist, not doubled)
+    n_bins = nperseg // 2 + 1
+    scale = 1.0 / (float(fs) * float(np.sum(_tukey_periodic(nperseg, 0.25)
+                                            ** 2)))
+    sided = np.full((n_bins,), 2.0, np.float32)
+    sided[0] = 1.0
+    if nperseg % 2 == 0:
+        sided[-1] = 1.0
+    power = power * (jnp.asarray(sided) * scale)
     power = power.transpose(0, 2, 1)  # (B, F, T)
     out = jnp.log(power + eps)
     if standardize:
         mean = jnp.mean(out, axis=(1, 2), keepdims=True)
         std = jnp.std(out, axis=(1, 2), keepdims=True)
-        out = (out - mean) / (std + 1e-8)
+        out = (out - mean) / (std + 1e-9)
     return out

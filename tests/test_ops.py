@@ -57,6 +57,51 @@ def test_cremad_spectrogram_standardized():
     np.testing.assert_allclose(out.std(axis=(1, 2)), 1.0, atol=1e-3)
 
 
+def _scipy_reference_spectrogram(x, fs=16000):
+    """The reference's exact offline pipeline
+    (cremad/video_preprocessing.py:234-238): scipy.signal.spectrogram with
+    all defaults (tukey(0.25), constant detrend, one-sided density PSD) ->
+    log(+1e-7) -> standardize (std + 1e-9)."""
+    from scipy import signal
+
+    _, _, spec = signal.spectrogram(x, fs, nperseg=512, noverlap=353)
+    spec = np.log(np.abs(spec) + 1e-7)
+    return (spec - spec.mean()) / (spec.std() + 1e-9)
+
+
+def test_cremad_spectrogram_matches_scipy_golden():
+    """Value-level pin vs scipy.signal.spectrogram's own output — the
+    on-device path and reference-preprocessed pickles must be
+    interchangeable (VERDICT r3 missing #4)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 32000)).astype(np.float32) * 0.3
+    # add a DC offset per clip so the constant-detrend term matters
+    x[0] += 0.25
+    x[1] -= 0.1
+    got = np.asarray(cremad_spectrogram(jnp.asarray(x)))
+    for b in range(2):
+        want = _scipy_reference_spectrogram(x[b])
+        assert got[b].shape == want.shape
+        np.testing.assert_allclose(got[b], want, rtol=2e-3, atol=2e-3)
+
+
+def test_cremad_spectrogram_reference_geometry():
+    """10 s @ 16 kHz -> (257, 1004), the shape the reference pickles carry
+    (cremad/video_preprocessing.py:239 prints it)."""
+    x = np.zeros((1, 160000), np.float32)
+    out = cremad_spectrogram(jnp.asarray(x))
+    assert out.shape == (1, 257, 1004)
+
+
+def test_tukey_periodic_matches_scipy():
+    from scipy.signal import get_window
+
+    from multimodal_clinical_tpu.ops.spectrogram import _tukey_periodic
+
+    want = get_window(("tukey", 0.25), 512, fftbins=True)
+    np.testing.assert_allclose(_tukey_periodic(512, 0.25), want, atol=1e-12)
+
+
 def test_spec_augment_masks_bands():
     rng = jax.random.PRNGKey(0)
     x = jnp.ones((4, 64, 128))
