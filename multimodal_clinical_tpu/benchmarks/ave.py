@@ -76,10 +76,29 @@ class AveDiskDataset(CremadDiskDataset):
         start, end = self._segment(clip_id)
         return float(start), float(end) + 1.0
 
+    def _stream_fps(self, clip_id: str) -> float:
+        """Short segments stream at a raised tick rate so they still
+        yield ``num_frames`` DISTINCT frames: the reference's offline SE
+        extraction tops short segments up to >= 10 distinct frames by
+        sampling extra random frame ids inside the window
+        (ave/video_preprocessing.py:131-158); evenly-spaced ticks are the
+        deterministic stand-in (divergence noted in PARITY.md)."""
+        start, end = self._stream_ticks(clip_id)
+        window = max(end - start, 1e-6)
+        if window >= self.num_frames:
+            return 1.0
+        return float(self.num_frames) / window
+
     def _window_waveform(self, wav: np.ndarray, clip_id: str) -> np.ndarray:
         """extractWav_SE host math (ave/video_preprocessing.py:254-266):
         slice [start, end) seconds, tile x10, tile x10 AGAIN if still
-        short, truncate to 10 s, clip to [-1, 1]."""
+        short, truncate to 10 s, clip to [-1, 1].
+
+        Slices shorter than 0.1 s keep tiling past the reference's
+        at-most-twice until the 10 s target: the reference would write a
+        short pickle there that crashes its own DataLoader at np.stack
+        time, so matching it would just move an opaque shape error into a
+        training-time prefetch thread."""
         start, end = self._segment(clip_id)
         seg = wav[SR * start: SR * end]
         if len(seg) == 0:
@@ -90,6 +109,8 @@ class AveDiskDataset(CremadDiskDataset):
         res = np.tile(seg, 10)
         if len(res) < target:
             res = np.tile(res, 10)
+        if len(res) < target:  # < 0.1 s slice; see docstring
+            res = np.tile(res, -(-target // len(res)))
         return np.clip(res[:target], -1.0, 1.0).astype(np.float32)
 
 
@@ -125,13 +146,18 @@ def _audio_mode(data_dir: str) -> str:
 
 
 def _read_split_txt(data_dir: str, txt: str, class_map, audio_mode: str,
-                    probe: _StreamProbe):
+                    probe: _StreamProbe,
+                    segments: Optional[Dict[str, Tuple[int, int]]] = None):
     """Split items with the reference's admission semantics
     (ave/get_data.py:89-101): skip unknown classes, admit a clip once
     (repeated rows are deduped), require both modalities reachable —
     pkl mode: the Audio-1004-SE pickle plus extracted frames (or a
     streamable container video); stream mode: both modalities via
-    wavs/containers."""
+    wavs/containers.  Stream mode additionally drops (with a warning)
+    clips whose Annotations.txt segment is empty (start >= end — the
+    reference's own FIXME at ave/video_preprocessing.py:145 acknowledges
+    such rows exist): admitting one would raise inside a training-time
+    prefetch gather instead of here."""
     items, seen = [], set()
     path = os.path.join(data_dir, txt)
     if not os.path.exists(path):
@@ -153,6 +179,11 @@ def _read_split_txt(data_dir: str, txt: str, class_map, audio_mode: str,
                         data_dir, AveDiskDataset.image_dir, clip))
                     or probe.streamable_frames(clip))
             else:
+                start, end = (segments or {}).get(clip, DEFAULT_SEGMENT)
+                if start >= end:
+                    print(f"[ave] dropping {clip!r}: empty Annotations.txt "
+                          f"segment [{start}, {end})")
+                    continue
                 ok = probe.admissible(clip)
             if ok:
                 seen.add(clip)
@@ -184,7 +215,8 @@ def get_data(args) -> DataBundle:
         for split, txt, train in (("train", "trainSet.txt", True),
                                   ("val", "valSet.txt", False),
                                   ("test", "testSet.txt", False)):
-            items = _read_split_txt(data_dir, txt, class_map, mode, probe)
+            items = _read_split_txt(data_dir, txt, class_map, mode, probe,
+                                    segments)
             if not items:
                 raise FileNotFoundError(
                     f"{data_dir}{txt}: 0 clips admitted — each clip needs "

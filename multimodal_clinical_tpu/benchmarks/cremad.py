@@ -125,6 +125,12 @@ class CremadDiskDataset:
         files); end=None early-stops after num_frames ticks."""
         return 0.0, None
 
+    def _stream_fps(self, clip_id: str) -> float:
+        """Tick rate for streaming frames straight from the container.
+        1 FPS matches the offline extraction grid; subclasses raise it for
+        short segment windows (AVE)."""
+        return 1.0
+
     def _window_waveform(self, wav: np.ndarray, clip_id: str) -> np.ndarray:
         """Fixed 10 s training window from a decoded 16 kHz waveform.
         Crema-D: tile the whole clip (video_preprocessing.py:113-118)."""
@@ -173,8 +179,9 @@ class CremadDiskDataset:
         if path is None or not avdecode.available():
             return []
         start, end = self._stream_ticks(clip_id)
+        fps = self._stream_fps(clip_id)
         frames = []
-        for frame, _tick in avdecode.decode_frames_at_fps(path, 1.0,
+        for frame, _tick in avdecode.decode_frames_at_fps(path, fps,
                                                           start=start,
                                                           end=end):
             frames.append(
@@ -249,29 +256,52 @@ def _audio_mode(data_dir: str) -> str:
 
 
 class _StreamProbe:
-    """Memoized per-CORPUS decodability verdicts (datasets are
-    codec-homogeneous, so one avformat probe of the first container
-    answers for all ~7,400 clips — per-clip admission then only costs
-    os.path existence checks, like the vggsound adapter's
-    _mp4_streamable).  ``dataset_cls`` supplies the on-disk layout
-    (Crema-D default; AVE passes AveDiskDataset)."""
+    """Memoized decodability verdicts for container streaming.
+
+    One avformat probe per container EXTENSION (then per codec pair found
+    inside it) answers admission for all ~7,400 clips — per-clip admission
+    then only costs os.path existence checks, like the vggsound adapter's
+    _mp4_streamable.  Per-extension (not per-corpus) granularity means a
+    mixed corpus — say half H.264 .mp4, half .flv with a codec this libav
+    build lacks — admits exactly the decodable clips instead of letting the
+    first container answer for everything and raising mid-epoch in a
+    prefetch gather.  Codec verdicts are additionally memoized by codec
+    name (``avdecode.probe`` is header-only), so a second extension with
+    the same codecs costs one header read, no trial decode.
+    ``dataset_cls`` supplies the on-disk layout (Crema-D default; AVE
+    passes AveDiskDataset)."""
 
     def __init__(self, data_dir: str, dataset_cls=None):
         self.data_dir = data_dir
         self.cls = dataset_cls or CremadDiskDataset
-        self._verdict = None  # (audio_ok, video_ok) once probed
+        self._by_ext: Dict[str, Tuple[bool, bool]] = {}
+        self._by_codec: Dict[str, bool] = {}
 
-    def _probe(self, sample_path: str):
-        if self._verdict is None:
+    def _codec_ok(self, avdecode, name: Optional[str]) -> bool:
+        if not name:
+            return False
+        if name not in self._by_codec:
+            self._by_codec[name] = avdecode.has_decoder(name)
+        return self._by_codec[name]
+
+    def _probe(self, sample_path: str) -> Tuple[bool, bool]:
+        ext = os.path.splitext(sample_path)[1].lower()
+        if ext not in self._by_ext:
             from ..utils import avdecode
 
             if not avdecode.available():
-                self._verdict = (False, False)
+                self._by_ext[ext] = (False, False)
             else:
-                self._verdict = (
-                    avdecode.can_decode_stream(sample_path, "audio"),
-                    avdecode.can_decode_stream(sample_path, "video"))
-        return self._verdict
+                info = avdecode.probe(sample_path)
+                if info is None:
+                    self._by_ext[ext] = (
+                        avdecode.can_decode_stream(sample_path, "audio"),
+                        avdecode.can_decode_stream(sample_path, "video"))
+                else:
+                    self._by_ext[ext] = (
+                        self._codec_ok(avdecode, info.get("audio_codec")),
+                        self._codec_ok(avdecode, info.get("video_codec")))
+        return self._by_ext[ext]
 
     def admissible(self, clip_id: str) -> bool:
         """Both modalities must be reachable so gather cannot fail:

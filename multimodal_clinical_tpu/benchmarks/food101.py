@@ -200,10 +200,18 @@ def load_pretrained(args, state):
     return state.replace(params=params)
 
 
-def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
+def get_model_spec(args, n_train: int, mesh=None) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "qmf")
-    module = Food101FusionNet(num_classes=int(args.num_classes),
-                              dtype=resolve_dtype(args))
+    # GPipe the SigLIP towers when the mesh carries a 'stage' axis
+    # (mesh_shape: {data: D, stage: S} + pipeline_stages: S) — the
+    # TPU-native scaling surface for towers deeper than one chip;
+    # parallel/pipeline.py / models/siglip.PipelinedEncoderStack
+    pp_stages = int(getattr(args, "pipeline_stages", 0) or 0)
+    module = Food101FusionNet(
+        num_classes=int(args.num_classes), dtype=resolve_dtype(args),
+        pipeline_stages=pp_stages,
+        pipeline_microbatches=int(getattr(args, "pipeline_microbatches", 4)),
+        mesh=mesh if pp_stages > 1 else None)
     common = dict(sched_step_size=50, sched_gamma=0.5)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)

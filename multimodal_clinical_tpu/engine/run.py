@@ -137,7 +137,15 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
     """Full fit+test for one benchmark; returns the test-epoch summary."""
     mesh = make_mesh(getattr(args, "mesh_shape", None) or None)
     data: DataBundle = benchmark_module.get_data(args)
-    spec, opt_kwargs = benchmark_module.get_model_spec(args, n_train=len(data.train))
+    # benchmarks with a mesh-aware model (pipeline parallelism) opt in by
+    # accepting a ``mesh`` kwarg (benchmarks/food101.py)
+    import inspect
+
+    spec_kwargs = {}
+    if "mesh" in inspect.signature(benchmark_module.get_model_spec).parameters:
+        spec_kwargs["mesh"] = mesh
+    spec, opt_kwargs = benchmark_module.get_model_spec(
+        args, n_train=len(data.train), **spec_kwargs)
     train_loader, val_loader, test_loader = build_loaders(args, data, mesh)
     state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
     # optional pretrained-weight injection (local checkpoints only —

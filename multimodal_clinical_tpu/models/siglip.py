@@ -71,6 +71,126 @@ class EncoderBlock(nn.Module):
         return x + h
 
 
+class _StageBlock(nn.Module):
+    """One pipeline stage: ``blocks`` consecutive EncoderBlocks (named
+    ``layers_{j}`` to mirror the unpipelined towers, so ported per-layer
+    params stack straight in — ``stack_tower_layers``)."""
+
+    blocks: int
+    dtype: Optional[Any] = None
+    width: int = WIDTH
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
+
+    @nn.compact
+    def __call__(self, x):
+        for j in range(self.blocks):
+            x = EncoderBlock(dtype=self.dtype, width=self.width,
+                             heads=self.heads, mlp_dim=self.mlp_dim,
+                             name=f"layers_{j}")(x)
+        return x
+
+
+class PipelinedEncoderStack(nn.Module):
+    """``stages`` GPipe stages x (``layers // stages``) EncoderBlocks.
+
+    The TPU-native scaling surface for towers deeper than one chip: params
+    live stacked on a leading stage dim (param name ``stages``;
+    parallel/sharding.param_spec shards it ``P("stage", ...)`` so each
+    device holds exactly its stage's weights and momentum).  With a mesh
+    carrying a ``stage`` axis the stack runs as a GPipe pipeline —
+    activations hop stage -> stage+1 over ICI via ppermute,
+    ``n_micro`` microbatches in flight (parallel/pipeline.pipeline_apply,
+    equivalence-tested vs sequential in tests/test_pipeline.py).  Without
+    one (``mesh=None``, or during ``init``) it runs the mathematically
+    identical sequential ``lax.scan``.
+
+    The reference is single-GPU (SURVEY §2.4) so there is nothing to cite;
+    config surface: ``mesh_shape: {data: D, stage: S}`` +
+    ``pipeline_stages: S`` (+ optional ``pipeline_microbatches``).
+    """
+
+    layers: int
+    stages: int
+    dtype: Optional[Any] = None
+    width: int = WIDTH
+    heads: int = HEADS
+    mlp_dim: int = MLP_DIM
+    mesh: Any = None
+    n_micro: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        if self.layers % self.stages:
+            raise ValueError(
+                f"layers {self.layers} not divisible by pipeline_stages "
+                f"{self.stages}")
+        block = _StageBlock(blocks=self.layers // self.stages,
+                            dtype=self.dtype, width=self.width,
+                            heads=self.heads, mlp_dim=self.mlp_dim)
+
+        def init_stacked(rng):
+            import jax
+
+            keys = jax.random.split(rng, self.stages)
+            zeros = jnp.zeros((1,) + x.shape[1:], jnp.float32)
+            trees = [block.init(k, zeros)["params"] for k in keys]
+            return jax.tree.map(lambda *leaves: jnp.stack(leaves), *trees)
+
+        stacked = self.param("stages", init_stacked)
+
+        def block_fn(p, xm):
+            return block.apply({"params": p}, xm)
+
+        import jax
+
+        from ..parallel.mesh import DATA_AXIS, STAGE_AXIS
+
+        shape = dict(self.mesh.shape) if self.mesh is not None else {}
+        if (shape.get(STAGE_AXIS, 1) > 1 and not self.is_initializing()):
+            from ..parallel.pipeline import pipeline_apply
+
+            data_axis = DATA_AXIS if shape.get(DATA_AXIS, 1) > 1 else None
+            return pipeline_apply(self.mesh, block_fn, stacked, x,
+                                  n_micro=self.n_micro, axis=STAGE_AXIS,
+                                  data_axis=data_axis)
+
+        def body(h, p):
+            return block_fn(p, h), None
+
+        y, _ = jax.lax.scan(body, x, stacked)
+        return y
+
+
+def stack_tower_layers(tower_params: dict, stages: int) -> dict:
+    """Convert one tower's per-layer params (``layers_0..layers_{L-1}`` —
+    the unpipelined loop layout, also what ``port_siglip_state_dict``
+    produces from an HF checkpoint) into the PipelinedEncoderStack layout:
+    ``{"pipeline": {"stages": <stacked>}}`` with every leaf gaining a
+    leading S dim (stage s, block j <- layer s*(L/S)+j)."""
+    import jax
+
+    layer_keys = sorted((k for k in tower_params if k.startswith("layers_")),
+                        key=lambda s: int(s.split("_")[1]))
+    n_layers = len(layer_keys)
+    if not n_layers or n_layers % stages:
+        raise ValueError(
+            f"{n_layers} layers not divisible by {stages} stages")
+    per = n_layers // stages
+    stage_trees = [
+        {f"layers_{j}": tower_params[layer_keys[s * per + j]]
+         for j in range(per)}
+        for s in range(stages)
+    ]
+    out = {k: v for k, v in tower_params.items()
+           if not k.startswith("layers_")}
+    out["pipeline"] = {
+        "stages": jax.tree.map(lambda *leaves: jnp.stack(leaves),
+                               *stage_trees)
+    }
+    return out
+
+
 class MAPHead(nn.Module):
     """SigLIP multihead-attention-pooling head: learned probe attends over
     the patch tokens, then LN + residual MLP."""
@@ -107,6 +227,10 @@ class SigLIPVisionTower(nn.Module):
     mlp_dim: int = MLP_DIM
     patch: int = PATCH
     image_size: int = IMAGE_SIZE
+    # GPipe over a mesh 'stage' axis (PipelinedEncoderStack); 0 = off
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 4
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -122,10 +246,17 @@ class SigLIPVisionTower(nn.Module):
                          (1, (self.image_size // self.patch) ** 2,
                           self.width), jnp.float32)
         x = x + pos.astype(x.dtype)
-        for i in range(self.layers):
-            x = EncoderBlock(dtype=self.dtype, width=self.width,
-                             heads=self.heads, mlp_dim=self.mlp_dim,
-                             name=f"layers_{i}")(x)
+        if self.pipeline_stages > 1:
+            x = PipelinedEncoderStack(
+                layers=self.layers, stages=self.pipeline_stages,
+                dtype=self.dtype, width=self.width, heads=self.heads,
+                mlp_dim=self.mlp_dim, mesh=self.mesh,
+                n_micro=self.pipeline_microbatches, name="pipeline")(x)
+        else:
+            for i in range(self.layers):
+                x = EncoderBlock(dtype=self.dtype, width=self.width,
+                                 heads=self.heads, mlp_dim=self.mlp_dim,
+                                 name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="post_layernorm")(x)
         return MAPHead(dtype=self.dtype, width=self.width, heads=self.heads,
@@ -140,6 +271,9 @@ class SigLIPTextTower(nn.Module):
     mlp_dim: int = MLP_DIM
     text_len: int = TEXT_LEN
     vocab: int = VOCAB
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 4
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, token_ids: jnp.ndarray) -> jnp.ndarray:
@@ -149,10 +283,17 @@ class SigLIPTextTower(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (1, self.text_len, self.width), jnp.float32)
         x = x + pos[:, : x.shape[1], :].astype(x.dtype)
-        for i in range(self.layers):
-            x = EncoderBlock(dtype=self.dtype, width=self.width,
-                             heads=self.heads, mlp_dim=self.mlp_dim,
-                             name=f"layers_{i}")(x)
+        if self.pipeline_stages > 1:
+            x = PipelinedEncoderStack(
+                layers=self.layers, stages=self.pipeline_stages,
+                dtype=self.dtype, width=self.width, heads=self.heads,
+                mlp_dim=self.mlp_dim, mesh=self.mesh,
+                n_micro=self.pipeline_microbatches, name="pipeline")(x)
+        else:
+            for i in range(self.layers):
+                x = EncoderBlock(dtype=self.dtype, width=self.width,
+                                 heads=self.heads, mlp_dim=self.mlp_dim,
+                                 name=f"layers_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32,
                          name="final_layer_norm")(x)
         pooled = x[:, -1, :]  # HF SiglipTextModel: last-token pooling
@@ -174,18 +315,24 @@ class SigLIPModel(nn.Module):
     image_size: int = IMAGE_SIZE
     text_len: int = TEXT_LEN
     vocab: int = VOCAB
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 4
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, token_ids, pixels, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        pp = dict(pipeline_stages=self.pipeline_stages,
+                  pipeline_microbatches=self.pipeline_microbatches,
+                  mesh=self.mesh)
         text = SigLIPTextTower(
             dtype=self.dtype, width=self.width, layers=self.layers,
             heads=self.heads, mlp_dim=self.mlp_dim, text_len=self.text_len,
-            vocab=self.vocab, name="text_model")(token_ids)
+            vocab=self.vocab, name="text_model", **pp)(token_ids)
         image = SigLIPVisionTower(
             dtype=self.dtype, width=self.width, layers=self.layers,
             heads=self.heads, mlp_dim=self.mlp_dim, patch=self.patch,
-            image_size=self.image_size, name="vision_model")(pixels)
+            image_size=self.image_size, name="vision_model", **pp)(pixels)
         # HF SiglipModel.forward L2-normalizes both embeds; the reference's
         # MLP heads consume exactly these normalized outputs
         # (food101/joint_model.py:55-58)

@@ -225,14 +225,22 @@ class Food101FusionNet(nn.Module):
 
     num_classes: int
     dtype: Optional[Any] = None
+    # GPipe the 12-block towers over a mesh 'stage' axis (config keys
+    # pipeline_stages / pipeline_microbatches + mesh_shape: {stage: S};
+    # models/siglip.PipelinedEncoderStack).  0 = off.
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 4
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = True):
         from .siglip import SigLIPModel  # local import: heavy module
 
-        text_emb, image_emb = SigLIPModel(dtype=self.dtype, name="model")(
-            x1, x2, train
-        )
+        text_emb, image_emb = SigLIPModel(
+            dtype=self.dtype, name="model",
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            mesh=self.mesh)(x1, x2, train)
         l1 = HeadMLP(self.num_classes, dtype=self.dtype, name="x1_model")(
             text_emb, train
         )

@@ -27,28 +27,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+STAGE_AXIS = "stage"
 
 
 def make_mesh(
     mesh_shape: Optional[Dict[str, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ("data", "model") mesh.
+    """Build a ("data", "model"[, "stage"]) mesh.
 
-    ``mesh_shape`` maps axis name -> size, e.g. ``{"data": 4, "model": 2}``.
-    Defaults to all local devices on the data axis.
+    ``mesh_shape`` maps axis name -> size, e.g. ``{"data": 4, "model": 2}``
+    or ``{"data": 2, "stage": 4}`` (GPipe pipeline stages over the trailing
+    axis — parallel/pipeline.py).  Defaults to all local devices on the
+    data axis; the stage axis only exists when requested with size > 1 so
+    existing 2-axis checkpoint/sharding layouts are untouched.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if mesh_shape:
-        dp = int(mesh_shape.get(DATA_AXIS, 0)) or max(
-            1, n // int(mesh_shape.get(MODEL_AXIS, 1))
-        )
-        mp = int(mesh_shape.get(MODEL_AXIS, 1))
+        mp = int(mesh_shape.get(MODEL_AXIS, 1)) or 1
+        pp = int(mesh_shape.get(STAGE_AXIS, 1)) or 1
+        dp = int(mesh_shape.get(DATA_AXIS, 0)) or max(1, n // (mp * pp))
     else:
-        dp, mp = n, 1
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+        dp, mp, pp = n, 1, 1
+    if dp * mp * pp != n:
+        raise ValueError(f"mesh {dp}x{mp}x{pp} != {n} devices")
+    if pp > 1:
+        dev_array = np.asarray(devices).reshape(dp, mp, pp)
+        return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, STAGE_AXIS))
     dev_array = np.asarray(devices).reshape(dp, mp)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 

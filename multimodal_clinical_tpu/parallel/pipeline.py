@@ -102,11 +102,19 @@ def pipeline_apply(mesh: Mesh, block_fn: Callable, stacked_params,
     the microbatch dim stays sharded over it (DP x PP).  Returns the
     (B, ...) output of the final stage (replicated over ``axis``).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     batch = x.shape[0]
     if batch % n_micro:
         raise ValueError(f"n_micro {n_micro} must divide batch {batch}")
+    n_stages = mesh.shape[axis]
+    leaves = jax.tree.leaves(stacked_params)
+    if leaves and leaves[0].shape[0] != n_stages:
+        # a larger multiple would silently drop all stages but the first
+        # per device (spmd() squeezes with a[0])
+        raise ValueError(
+            f"stacked_params has {leaves[0].shape[0]} stages but mesh axis "
+            f"{axis!r} has {n_stages} devices; they must match 1:1")
     x_micro = x.reshape(n_micro, batch // n_micro, *x.shape[1:])
 
     def spmd(params_stk, xm):
@@ -115,6 +123,6 @@ def pipeline_apply(mesh: Mesh, block_fn: Callable, stacked_params,
 
     batch_spec = P(None, data_axis) if data_axis else P()
     out = shard_map(spmd, mesh=mesh, in_specs=(P(axis), batch_spec),
-                    out_specs=batch_spec, check_rep=False)(
+                    out_specs=batch_spec, check_vma=False)(
                         stacked_params, x_micro)
     return out.reshape(batch, *out.shape[2:])

@@ -29,7 +29,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, STAGE_AXIS
 
 #: leaves smaller than this many elements stay replicated under FSDP
 _FSDP_MIN_SIZE = 65536
@@ -51,13 +51,24 @@ def _fsdp_dim(leaf, fsdp: int, taken_dim: int = -1) -> int:
 
 
 def param_spec(path: tuple, leaf: Any, model_axis_size: int,
-               fsdp_axis_size: int = 1) -> P:
+               fsdp_axis_size: int = 1, stage_axis_size: int = 1) -> P:
     """PartitionSpec for one parameter leaf based on its role and shape."""
     if not hasattr(leaf, "ndim"):
         return P()
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     is_kernel = bool(names) and names[-1] == "kernel"
     mp = model_axis_size
+    # GPipe stacked stage params (parallel/pipeline.py): every leaf under a
+    # PipelinedEncoderStack's "stages" param carries the S-stage dim first —
+    # each device on the stage axis holds exactly its stage's slice
+    if stage_axis_size > 1 and "stages" in names and leaf.ndim >= 1 \
+            and leaf.shape[0] == stage_axis_size:
+        spec = [None] * leaf.ndim
+        spec[0] = STAGE_AXIS
+        d = _fsdp_dim(leaf, fsdp_axis_size, 0)
+        if d > 0:
+            spec[d] = DATA_AXIS
+        return P(*spec)
     spec = [None] * leaf.ndim
     taken = -1
     if mp > 1:
@@ -78,15 +89,16 @@ def param_spec(path: tuple, leaf: Any, model_axis_size: int,
 def _axis_sizes(mesh: Mesh, fsdp: bool):
     mp = mesh.shape[MODEL_AXIS]
     fs = mesh.shape[DATA_AXIS] if fsdp else 1
-    return mp, fs
+    pp = dict(mesh.shape).get(STAGE_AXIS, 1)
+    return mp, fs, pp
 
 
 def shard_params(params, mesh: Mesh, fsdp: bool = False):
     """Place a parameter pytree on the mesh under the TP(+FSDP) rules."""
-    mp, fs = _axis_sizes(mesh, fsdp)
+    mp, fs, pp = _axis_sizes(mesh, fsdp)
 
     def place(path, leaf):
-        spec = param_spec(path, leaf, mp, fs)
+        spec = param_spec(path, leaf, mp, fs, pp)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -97,13 +109,13 @@ def state_shardings(state, mesh: Mesh, fsdp: bool = False):
     the TP(+FSDP) rules (optax momentum trees embed the param pytree, so
     path suffixes match and momentum mirrors its parameter's layout);
     everything else replicated."""
-    mp, fs = _axis_sizes(mesh, fsdp)
+    mp, fs, pp = _axis_sizes(mesh, fsdp)
     rep = NamedSharding(mesh, P())
 
     def for_params(tree):
         return jax.tree_util.tree_map_with_path(
             lambda path, leaf: NamedSharding(
-                mesh, param_spec(path, leaf, mp, fs)),
+                mesh, param_spec(path, leaf, mp, fs, pp)),
             tree,
         )
 

@@ -630,14 +630,17 @@ def test_ave_zero_stage_corpus_segment_aware(tmp_path):
     assert batch["x1_waveform"].shape == (1, SR * 10)
     assert batch["x2"].shape == (1, 6, 224, 224, 3)
     assert batch["x2"].dtype == np.uint8
-    # segment [1, 2] at the 1 FPS grid -> ticks 1 and 2 = source frames
-    # 4 and 8 (4 fps fixture); the short yield pads by repeating the last
+    # segment [1, 2] -> 2 s window [1, 3): shorter than num_frames=6 s, so
+    # the stream fps rises to 3 (ticks 1.0, 1.33, ..., 2.67) and 6 DISTINCT
+    # frames come out of the window (the reference's offline top-up analog,
+    # ave/video_preprocessing.py:131-158) instead of repeat-padding
     f0 = batch["x2"][0, 0].astype(int).mean(axis=(0, 1))
     assert np.abs(f0 - np.array(COLORS[4])).max() < 16.0, f0
-    f1 = batch["x2"][0, 1].astype(int).mean(axis=(0, 1))
-    assert np.abs(f1 - np.array(COLORS[8])).max() < 16.0, f1
-    np.testing.assert_array_equal(batch["x2"][0, 2], batch["x2"][0, 1])
-    np.testing.assert_array_equal(batch["x2"][0, 5], batch["x2"][0, 1])
+    f3 = batch["x2"][0, 3].astype(int).mean(axis=(0, 1))  # tick 2.0 -> frame 8
+    assert np.abs(f3 - np.array(COLORS[8])).max() < 16.0, f3
+    means = [tuple(batch["x2"][0, i].astype(int).mean(axis=(0, 1)).round())
+             for i in range(6)]
+    assert len(set(means)) >= 4, means  # distinct frames, not repeats
     # audio: the 1 s SE slice of the tone tiled to 10 s keeps the peak
     spec = np.abs(np.fft.rfft(batch["x1_waveform"][0][:SR]))
     assert abs(np.argmax(spec) - TONE_HZ) <= 2
@@ -665,3 +668,40 @@ def test_transform_frame_array_variants():
     np.testing.assert_array_equal(a, b)
     c = transform_frame_train_u8(img, np.random.default_rng(8))
     assert not np.array_equal(a, c)
+
+
+def test_stream_probe_mixed_codec_corpus(tmp_path, monkeypatch):
+    """Admission verdicts are memoized per container extension + codec,
+    not per corpus: a mixed corpus (decodable H.264/AAC .mp4 clips next
+    to .flv clips carrying a codec this libav build lacks) admits exactly
+    the decodable clips instead of letting the first container answer for
+    everything (VERDICT r3 weak #4)."""
+    from multimodal_clinical_tpu.benchmarks.cremad import _StreamProbe
+    from multimodal_clinical_tpu.utils import avdecode as av
+
+    vdir = tmp_path / "video"
+    vdir.mkdir()
+    frames = np.random.default_rng(0).integers(
+        0, 255, (3, 64, 64, 3)).astype(np.uint8)
+    avdecode.encode_mp4(str(vdir / "a.mp4"), frames, FPS, _tone(), SR)
+    avdecode.encode_mp4(str(vdir / "c.mp4"), frames, FPS, _tone(), SR)
+    (vdir / "b.flv").write_bytes(b"FLV\x01\x05\x00\x00\x00\x09junk")
+
+    calls = []
+    orig_probe = av.probe
+
+    def spy_probe(path):
+        calls.append(path)
+        if path.endswith(".flv"):
+            return {"audio_codec": "no_such_codec",
+                    "video_codec": "no_such_codec"}
+        return orig_probe(path)
+
+    monkeypatch.setattr(av, "probe", spy_probe)
+    probe = _StreamProbe(str(tmp_path))
+    assert probe.admissible("a")
+    assert not probe.admissible("b")  # undecodable codec: rejected
+    assert probe.admissible("c")      # same ext as 'a': memoized, no probe
+    exts = {os.path.splitext(p)[1] for p in calls}
+    assert exts == {".mp4", ".flv"}
+    assert len(calls) == 2  # one header probe per extension

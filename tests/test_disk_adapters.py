@@ -266,6 +266,61 @@ def test_ave_window_waveform_matches_reference_math():
     np.testing.assert_allclose(ds4._window_waveform(wav, "c"),
                                _reference(wav, 0, 10), atol=0)
 
+    # sub-0.1 s slice: the reference's at-most-twice tiling would fall
+    # short of 10 s (its own pickles then crash its DataLoader at stack
+    # time); here tiling continues to exactly the 10 s target
+    short = (rng.normal(scale=0.4, size=sr)).astype(np.float32)
+    tiny = short[: sr // 100]  # 0.01 s
+    ds5 = AveDiskDataset(".", [], train=False, segments={"c": (0, 1)})
+    out = ds5._window_waveform(tiny, "c")
+    assert out.shape == (target,)
+    np.testing.assert_allclose(
+        out, np.clip(np.tile(tiny, -(-target // len(tiny)))[:target],
+                     -1.0, 1.0), atol=0)
+
+
+def test_ave_stream_fps_tops_up_short_segments():
+    """Segments shorter than num_frames seconds raise the stream tick
+    rate so num_frames DISTINCT frames come out of the window (the
+    reference's offline top-up analog, ave/video_preprocessing.py:131-158);
+    long segments stay on the offline 1 FPS grid."""
+    from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
+
+    ds = AveDiskDataset(".", [], train=False,
+                        segments={"short": (2, 3), "long": (0, 9)})
+    # [2, 4) window (end inclusive -> +1), 2 s < 6 frames -> 3 fps
+    assert ds._stream_fps("short") == pytest.approx(6.0 / 2.0)
+    assert ds._stream_fps("long") == 1.0
+
+
+def test_ave_stream_admission_drops_empty_segments(tmp_path, capsys):
+    """Stream mode drops start>=end Annotations rows at dataset
+    construction (with a warning) instead of raising inside a
+    training-time prefetch gather (ADVICE r3)."""
+    from multimodal_clinical_tpu.benchmarks.ave import (
+        _read_annotations, _read_split_txt)
+    from multimodal_clinical_tpu.benchmarks.cremad import _StreamProbe
+
+    d = tmp_path
+    (d / "Audios").mkdir()
+    for clip in ("good", "bad"):
+        _write_wav(d / "Audios" / f"{clip}.wav", seconds=4)
+        _write_frames(str(d / "Image-01-FPS-SE" / clip), 2)
+    (d / "Annotations.txt").write_text(
+        "category&clip&quality&start&end\n"
+        "Dog&good&good&1&3\n"
+        "Dog&bad&good&0&0\n")
+    (d / "t.txt").write_text("Dog&good\nDog&bad\n")
+
+    from multimodal_clinical_tpu.benchmarks.ave import AveDiskDataset
+
+    probe = _StreamProbe(str(d), AveDiskDataset)
+    segments = _read_annotations(str(d))
+    items = _read_split_txt(str(d), "t.txt", {"Dog": 0}, "stream", probe,
+                            segments)
+    assert [c for c, _ in items] == ["good"]
+    assert "empty Annotations.txt segment" in capsys.readouterr().out
+
 
 def test_cremad_train_vs_eval_transforms(tmp_path):
     from multimodal_clinical_tpu.benchmarks.cremad import CremadDiskDataset

@@ -138,3 +138,147 @@ def test_pipeline_rejects_indivisible_microbatching():
     x = jnp.zeros((10, DIM))
     with pytest.raises(ValueError, match="divide batch"):
         pipeline_apply(mesh, _block, stacked, x, n_micro=3)
+
+
+def test_pipeline_rejects_stage_count_mismatch():
+    """S != mesh stage-axis size must be a loud error: with S a larger
+    multiple, shard_map would give each device several stages and the
+    per-device squeeze would silently drop all but the first."""
+    mesh = _stage_mesh()
+    params_list = _make_params(jax.random.PRNGKey(10),
+                               n_stages=2 * N_STAGES)
+    stacked = stack_stage_params(params_list)
+    x = jnp.zeros((8, DIM))
+    with pytest.raises(ValueError, match="must match 1:1"):
+        pipeline_apply(mesh, _block, stacked, x, n_micro=4)
+
+
+# ---------------------------------------------------------------------------
+# User surface: pipelined SigLIP towers (models/siglip.PipelinedEncoderStack)
+# reachable from config via mesh_shape: {data, model, stage} +
+# pipeline_stages (benchmarks/food101.get_model_spec).
+
+TINY = dict(width=16, layers=4, heads=2, mlp_dim=32, patch=8,
+            image_size=16, text_len=8, vocab=50)
+
+
+def _pp_mesh():
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+    return make_mesh({"data": 2, "model": 1, "stage": 4})
+
+
+def test_make_mesh_stage_axis():
+    from multimodal_clinical_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "model": 1, "stage": 4})
+    assert dict(mesh.shape) == {"data": 2, "model": 1, "stage": 4}
+    # stage axis only materializes when requested: 2-axis layout unchanged
+    assert tuple(make_mesh({"data": 4, "model": 2}).axis_names) == (
+        "data", "model")
+
+
+def test_pipelined_siglip_matches_sequential_scan():
+    """Same params: GPipe'd towers (mesh with stage axis) == the sequential
+    lax.scan fallback (mesh=None) — the flax-level analog of the
+    pipeline_apply equivalence tests above."""
+    from multimodal_clinical_tpu.models.siglip import SigLIPModel
+
+    mesh = _pp_mesh()
+    seq = SigLIPModel(pipeline_stages=4, mesh=None, **TINY)
+    pp = SigLIPModel(pipeline_stages=4, mesh=mesh, pipeline_microbatches=4,
+                     **TINY)
+    ids = jnp.zeros((8, 8), jnp.int32)
+    px = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    variables = seq.init(jax.random.PRNGKey(1), ids, px)
+    t_seq, i_seq = seq.apply(variables, ids, px)
+    t_pp, i_pp = jax.jit(lambda v, a, b: pp.apply(v, a, b))(
+        variables, ids, px)
+    np.testing.assert_allclose(np.asarray(t_pp), np.asarray(t_seq),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(i_pp), np.asarray(i_seq),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stack_tower_layers_ports_loop_params():
+    """Per-layer params (the unpipelined layout ported from HF checkpoints)
+    stack into the pipelined layout with identical forward output."""
+    from multimodal_clinical_tpu.models.siglip import (
+        SigLIPTextTower, stack_tower_layers,
+    )
+
+    tiny_text = {k: v for k, v in TINY.items()
+                 if k not in ("patch", "image_size")}
+    loop = SigLIPTextTower(**tiny_text)
+    pp = SigLIPTextTower(pipeline_stages=2, mesh=None, **tiny_text)
+    ids = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % TINY["vocab"]
+    loop_vars = loop.init(jax.random.PRNGKey(2), ids)
+    want = loop.apply(loop_vars, ids)
+    stacked = stack_tower_layers(loop_vars["params"], stages=2)
+    got = pp.apply({"params": stacked}, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_dp_pp_train_step_on_stage_mesh():
+    """Full train step (forward, loss, backward, update) of a pipelined
+    dual-tower fusion net on a DP x PP mesh: stage params sharded P('stage'),
+    loss finite and decreasing."""
+    from types import SimpleNamespace
+
+    from flax import linen as nn
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.siglip import SigLIPModel
+    from multimodal_clinical_tpu.parallel.mesh import batch_sharding
+    from multimodal_clinical_tpu.parallel.sharding import place_state
+
+    mesh = _pp_mesh()
+
+    class TinyPPFusion(nn.Module):
+        mesh: object = None
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            text, img = SigLIPModel(pipeline_stages=4, mesh=self.mesh,
+                                    name="model", **TINY)(x1, x2, train)
+            l1 = nn.Dense(self.num_classes, name="x1_model")(text)
+            l2 = nn.Dense(self.num_classes, name="x2_model")(img)
+            return {"logits": [l1, l2]}
+
+    rng = np.random.default_rng(0)
+    batch = 8
+    ids = (rng.integers(0, TINY["vocab"], (batch, 8))).astype(np.int32)
+    px = rng.normal(size=(batch, 16, 16, 3)).astype(np.float32)
+    label = rng.integers(0, 4, batch).astype(np.int32)
+
+    args = SimpleNamespace(num_classes=4, batch_size=batch,
+                           learning_rate=0.1, num_epochs=1,
+                           use_scheduler=False, seed=0)
+    spec = ModelSpec(module=TinyPPFusion(mesh=mesh), contract="jlogits")
+    state = create_train_state(spec, args, jax.random.PRNGKey(0),
+                               [jnp.asarray(ids[:2]), jnp.asarray(px[:2])],
+                               steps_per_epoch=2)
+    state = place_state(state, mesh)
+
+    # the stacked stage params landed sharded over the stage axis
+    stage_leaf = jax.tree.leaves(
+        state.params["model"]["text_model"]["pipeline"]["stages"])[0]
+    assert "stage" in str(stage_leaf.sharding.spec)
+
+    bs = batch_sharding(mesh)
+    device_batch = {
+        "x1": jax.device_put(ids, bs), "x2": jax.device_put(px, bs),
+        "label": jax.device_put(label, bs),
+        "idx": jax.device_put(np.arange(batch, dtype=np.int32), bs),
+        "valid": jax.device_put(np.ones(batch, np.float32), bs),
+    }
+    with mesh:
+        step = make_train_step(spec)
+        state1, m1 = step(state, device_batch)
+        _, m2 = step(state1, device_batch)
+    l1, l2 = float(m1["train_loss"]), float(m2["train_loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1  # same batch twice: the pipelined grads update params

