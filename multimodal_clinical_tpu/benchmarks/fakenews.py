@@ -59,23 +59,29 @@ class FakeNewsDiskDataset:
                                        int(row["6_way_label"])))
         self.labels = np.asarray([l for _, _, l in self.items], np.int32)
         # tokenizer priority: native WordPiece over a local vocab.txt
-        # (bert_vocab_path config key or data_dir/vocab.txt) > HF tokenizer
-        # from local files > crc32 hash buckets (documented fallback)
+        # (bert_vocab_path config key or data_dir/vocab.txt) > native
+        # SentencePiece over a local tokenizer.model/spiece.model
+        # (spm_model_path key, data/spm.py) > HF tokenizer from local
+        # files > crc32 hash buckets (documented fallback)
+        from ..data.spm import load_spm
         from ..data.wordpiece import load_tokenizer
 
+        args_ns = (args if args is not None
+                   else type("A", (), {"data_path": data_dir})())
         self._tokenizer = None
-        self._wordpiece = load_tokenizer(
-            args if args is not None
-            else type("A", (), {"data_path": data_dir})())
+        self._spm = None
+        self._wordpiece = load_tokenizer(args_ns)
         if self._wordpiece is None:
+            self._spm = load_spm(args_ns)
+        if self._wordpiece is None and self._spm is None:
             try:
                 from transformers import BertTokenizerFast
 
                 self._tokenizer = BertTokenizerFast.from_pretrained(
                     "bert-base-uncased", local_files_only=True)
             except Exception:
-                print("[fakenews] no vocab.txt and HF tokenizer "
-                      "unavailable; hash tokenizer in use")
+                print("[fakenews] no vocab.txt/tokenizer.model and HF "
+                      "tokenizer unavailable; hash tokenizer in use")
 
     def __len__(self):
         return len(self.items)
@@ -88,6 +94,11 @@ class FakeNewsDiskDataset:
             text, img_path, label = self.items[int(i)]
             if self._wordpiece is not None:
                 toks.append(self._wordpiece.encode(text, self.max_len))
+            elif self._spm is not None:
+                ids = self._spm.encode(text)[: self.max_len]
+                ids = ids + [max(self._spm.pad_id, 0)] * (self.max_len
+                                                          - len(ids))
+                toks.append(np.asarray(ids, np.int32))
             elif self._tokenizer is not None:
                 enc = self._tokenizer(text, max_length=self.max_len,
                                       truncation=True, padding="max_length")
