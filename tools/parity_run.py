@@ -73,7 +73,29 @@ def main(argv=None):
     ap.add_argument("--allow-synthetic", action="store_true")
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 if any verdict is FAIL")
+    ap.add_argument("--fixture", action="store_true",
+                    help="fabricate a tiny REAL-FORMAT corpus (cremad "
+                         "on-disk layout, the bench.py fabricator) in a "
+                         "temp dir and run the full train->CSV->verdict "
+                         "path against it — regression-tests this harness "
+                         "on machines without a dataset mount (report-only "
+                         "verdicts; cremad has no published accuracy)")
     opts = ap.parse_args(argv)
+
+    fixture_dir = None
+    if opts.fixture:
+        import tempfile
+
+        if opts.dir != "cremad":
+            print("[parity] --fixture fabricates the cremad layout only")
+            return 2
+        from bench import _fabricate_cremad_corpus
+
+        fixture_dir = tempfile.mkdtemp(prefix="parity_fixture_")
+        bs = 8
+        _fabricate_cremad_corpus(fixture_dir, n_clips=bs)
+        opts.set = [f"data_path={fixture_dir}/", f"batch_size={bs}",
+                    "num_epochs=1", "loader_workers=1"] + opts.set
 
     from main import run_training
     from multimodal_clinical_tpu.benchmarks import get_benchmark
@@ -120,6 +142,13 @@ def main(argv=None):
                                   if k.startswith("test_epoch/")
                                   and not k.endswith("_std")
                                   and "_seed" not in k})
+    if fixture_dir is not None:
+        import shutil
+
+        shutil.rmtree(fixture_dir, ignore_errors=True)
+        if opts.out:  # keep run artifacts only when the CSV was redirected
+            shutil.rmtree(f"{fixture_dir.rstrip('/')}_ckpts",
+                          ignore_errors=True)
     for key in keys:
         mean = summary.get(key)
         std = summary.get(key + "_std", 0.0) or 0.0
