@@ -345,8 +345,10 @@ def main(batch=224, warmup=3, iters=20):
         # remote-compile), and every custom-kernel lever is measured or
         # costed at/below XLA parity (ROADMAP.md dead-ends) — step is
         # compute-bound at ~63% avg MXU.
-        "ceiling_note": ("batch sweep peaks at 224; no remaining >1% lever "
-                         "measured — see ROADMAP.md"),
+        "ceiling_note": ("batch sweep peaks at 224; every kernel candidate "
+                         "incl. round-4 single-pass BN-stats measured at/"
+                         "below XLA parity; 5x would need 91% sustained MXU "
+                         "across fwd+bwd convs — see ROADMAP.md roofline"),
     }))
 
 
