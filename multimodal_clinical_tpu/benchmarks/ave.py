@@ -103,8 +103,10 @@ class AveDiskDataset(CremadDiskDataset):
         seg = wav[SR * start: SR * end]
         if len(seg) == 0:
             raise ValueError(
-                f"clip {clip_id!r}: empty audio segment "
-                f"[{start}, {end}) s (Annotations.txt row wrong?)")
+                f"clip {clip_id!r}: empty audio segment [{start}, {end}) s "
+                f"over a {len(wav) / SR:.2f} s waveform (Annotations.txt "
+                "row wrong, or a truncated download whose audio ends "
+                "before the annotated window?)")
         target = SR * TILE_SEC
         res = np.tile(seg, 10)
         if len(res) < target:

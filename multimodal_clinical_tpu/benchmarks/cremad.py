@@ -256,25 +256,25 @@ def _audio_mode(data_dir: str) -> str:
 
 
 class _StreamProbe:
-    """Memoized decodability verdicts for container streaming.
+    """PER-CLIP decodability verdicts for container streaming, with
+    per-CODEC memoization.
 
-    One avformat probe per container EXTENSION (then per codec pair found
-    inside it) answers admission for all ~7,400 clips — per-clip admission
-    then only costs os.path existence checks, like the vggsound adapter's
-    _mp4_streamable.  Per-extension (not per-corpus) granularity means a
-    mixed corpus — say half H.264 .mp4, half .flv with a codec this libav
-    build lacks — admits exactly the decodable clips instead of letting the
+    Each clip is judged on its OWN container: a cheap header-only avformat
+    probe (``avdecode.probe`` — no frame decode) reads its codec names,
+    and decoder availability is memoized per codec id, so a 7,400-clip
+    corpus costs 7,400 header opens (a one-time dataset-construction cost
+    of a few ms each, only on the zero-offline-stage path) but at most a
+    handful of decoder lookups.  Per-clip granularity means a mixed corpus
+    — H.264 .mp4 next to HEVC .mp4 on a libav build without an HEVC
+    decoder — admits exactly the decodable clips instead of letting the
     first container answer for everything and raising mid-epoch in a
-    prefetch gather.  Codec verdicts are additionally memoized by codec
-    name (``avdecode.probe`` is header-only), so a second extension with
-    the same codecs costs one header read, no trial decode.
+    prefetch gather; a corrupt first file likewise poisons only itself.
     ``dataset_cls`` supplies the on-disk layout (Crema-D default; AVE
     passes AveDiskDataset)."""
 
     def __init__(self, data_dir: str, dataset_cls=None):
         self.data_dir = data_dir
         self.cls = dataset_cls or CremadDiskDataset
-        self._by_ext: Dict[str, Tuple[bool, bool]] = {}
         self._by_codec: Dict[str, bool] = {}
 
     def _codec_ok(self, avdecode, name: Optional[str]) -> bool:
@@ -285,23 +285,16 @@ class _StreamProbe:
         return self._by_codec[name]
 
     def _probe(self, sample_path: str) -> Tuple[bool, bool]:
-        ext = os.path.splitext(sample_path)[1].lower()
-        if ext not in self._by_ext:
-            from ..utils import avdecode
+        from ..utils import avdecode
 
-            if not avdecode.available():
-                self._by_ext[ext] = (False, False)
-            else:
-                info = avdecode.probe(sample_path)
-                if info is None:
-                    self._by_ext[ext] = (
-                        avdecode.can_decode_stream(sample_path, "audio"),
-                        avdecode.can_decode_stream(sample_path, "video"))
-                else:
-                    self._by_ext[ext] = (
-                        self._codec_ok(avdecode, info.get("audio_codec")),
-                        self._codec_ok(avdecode, info.get("video_codec")))
-        return self._by_ext[ext]
+        if not avdecode.available():
+            return (False, False)
+        info = avdecode.probe(sample_path)
+        if info is None:  # unparseable header: fall back to trial decode
+            return (avdecode.can_decode_stream(sample_path, "audio"),
+                    avdecode.can_decode_stream(sample_path, "video"))
+        return (self._codec_ok(avdecode, info.get("audio_codec")),
+                self._codec_ok(avdecode, info.get("video_codec")))
 
     def admissible(self, clip_id: str) -> bool:
         """Both modalities must be reachable so gather cannot fail:

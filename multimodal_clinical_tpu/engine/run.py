@@ -138,12 +138,20 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
     mesh = make_mesh(getattr(args, "mesh_shape", None) or None)
     data: DataBundle = benchmark_module.get_data(args)
     # benchmarks with a mesh-aware model (pipeline parallelism) opt in by
-    # accepting a ``mesh`` kwarg (benchmarks/food101.py)
+    # accepting a ``mesh`` kwarg (benchmarks/food101.py); **kwargs also
+    # counts, and a pipeline_stages config on a benchmark that accepts
+    # neither is a loud error rather than a silently-ignored setting
     import inspect
 
-    spec_kwargs = {}
-    if "mesh" in inspect.signature(benchmark_module.get_model_spec).parameters:
-        spec_kwargs["mesh"] = mesh
+    sig_params = inspect.signature(benchmark_module.get_model_spec).parameters
+    accepts_mesh = "mesh" in sig_params or any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in sig_params.values())
+    if int(getattr(args, "pipeline_stages", 0) or 0) > 1 and not accepts_mesh:
+        raise NotImplementedError(
+            f"pipeline_stages is set but the {args.dir!r} benchmark's "
+            "get_model_spec does not accept a mesh — pipeline parallelism "
+            "is wired for benchmarks that opt in (food101)")
+    spec_kwargs = {"mesh": mesh} if accepts_mesh else {}
     spec, opt_kwargs = benchmark_module.get_model_spec(
         args, n_train=len(data.train), **spec_kwargs)
     train_loader, val_loader, test_loader = build_loaders(args, data, mesh)

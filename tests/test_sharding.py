@@ -1,6 +1,8 @@
 """Sharded-execution tests: DPxTP meshes produce the same math as a single
 device, and the multi-chip dry run executes."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -333,24 +335,7 @@ def test_dp_qmf_history_matches_single_device():
     assert np.all(corr_single[:, batch + (batch - 3):] == 0.0)
 
 
-def test_dryrun_purges_mismatched_cpu_cache(tmp_path, monkeypatch):
-    """Stale XLA:CPU AOT cache entries (machine-feature mismatch, the
-    cpu_aot_loader SIGILL warning) must be purged and recompiled, not
-    loaded through (VERDICT r3 weak #3)."""
-    import __graft_entry__ as g
-
-    assert g._cpu_cache_unsafe(
-        "E0819 12:01:25 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result."
-        " ... This could lead to execution errors such as SIGILL.")
-    assert not g._cpu_cache_unsafe("dryrun_multichip ok: ...")
-
-    cache = tmp_path / "cpu_cache"
-    cache.mkdir()
-    (cache / "stale.bin").write_bytes(b"not a real executable")
-    monkeypatch.setenv("MMCT_JAX_CACHE", str(cache))
-
-    calls = []
-
+def _fake_child(calls):
     def fake_run_child(n, env):
         calls.append(env["MMCT_JAX_CACHE"])
 
@@ -362,8 +347,58 @@ def test_dryrun_purges_mismatched_cpu_cache(tmp_path, monkeypatch):
 
         return P()
 
-    monkeypatch.setattr(g, "_run_child", fake_run_child)
-    # ask for more devices than the ambient 8 so the subprocess path runs
+    return fake_run_child
+
+
+def test_dryrun_purges_mismatched_cpu_cache(monkeypatch):
+    """Stale XLA:CPU AOT cache entries (machine-feature mismatch, the
+    cpu_aot_loader SIGILL warning) in the dryrun-OWNED fingerprinted dir
+    must be purged and recompiled, not loaded through (VERDICT r3 weak
+    #3)."""
+    import __graft_entry__ as g
+
+    assert g._cpu_cache_unsafe(
+        "E0819 12:01:25 cpu_aot_loader.cc:210] Loading XLA:CPU AOT result."
+        " ... This could lead to execution errors such as SIGILL.")
+    assert not g._cpu_cache_unsafe("dryrun_multichip ok: ...")
+
+    monkeypatch.delenv("MMCT_JAX_CACHE", raising=False)
+    monkeypatch.setattr(g, "_host_fingerprint", lambda: "testfp")
+    cache = os.path.join(g._REPO_DIR, ".jax_cache_cpu-testfp")
+    os.makedirs(cache, exist_ok=True)
+    stale = os.path.join(cache, "stale.bin")
+    with open(stale, "wb") as f:
+        f.write(b"not a real executable")
+    try:
+        calls = []
+        monkeypatch.setattr(g, "_run_child", _fake_child(calls))
+        # more devices than the ambient 8 so the subprocess path runs
+        g.dryrun_multichip(16)
+        assert len(calls) == 2      # marker seen -> purge -> one re-run
+        assert calls[0] == calls[1] == cache
+        assert not os.path.exists(stale)
+    finally:
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
+
+
+def test_dryrun_never_purges_inherited_cache(tmp_path, monkeypatch):
+    """A user-provided MMCT_JAX_CACHE (possibly the shared TPU compile
+    cache with its 1-10-minute entries) must NEVER be rmtree'd: the retry
+    swaps to a throwaway dir instead (round-4 review fix)."""
+    import __graft_entry__ as g
+
+    cache = tmp_path / "shared_cache"
+    cache.mkdir()
+    (cache / "tpu_entry.bin").write_bytes(b"expensive TPU executable")
+    monkeypatch.setenv("MMCT_JAX_CACHE", str(cache))
+
+    calls = []
+    monkeypatch.setattr(g, "_run_child", _fake_child(calls))
     g.dryrun_multichip(16)
-    assert len(calls) == 2          # marker seen -> purge -> one re-run
-    assert not (cache / "stale.bin").exists()
+    assert len(calls) == 2
+    assert calls[0] == str(cache)
+    assert calls[1] != str(cache)             # rerun on a throwaway dir
+    assert (cache / "tpu_entry.bin").exists()  # inherited dir untouched
+    assert not os.path.exists(calls[1])        # throwaway cleaned up

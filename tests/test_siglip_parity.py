@@ -198,3 +198,60 @@ def test_siglip_train_step_trajectory_matches_torch():
         ours_losses.append(float(metrics["train_loss"]))
 
     np.testing.assert_allclose(ours_losses, torch_losses, rtol=0, atol=5e-3)
+
+
+def test_siglip_porting_into_pipelined_layout():
+    """HF weights port into the PIPELINED tower layout (stage-stacked
+    params, models/siglip.unstack_tower_layers round-trip inside
+    port_siglip_state_dict) with the same forward as the loop layout —
+    GPipe'd towers keep local-checkpoint support (round-4 review fix)."""
+    from transformers import SiglipConfig, SiglipModel as TorchSiglip
+
+    from multimodal_clinical_tpu.models.siglip import (
+        SigLIPModel, port_siglip_state_dict,
+    )
+
+    cfg = SiglipConfig(
+        text_config=dict(hidden_size=_TINY["width"],
+                         intermediate_size=_TINY["mlp_dim"],
+                         num_hidden_layers=_TINY["layers"],
+                         num_attention_heads=_TINY["heads"],
+                         vocab_size=_TINY["vocab"],
+                         max_position_embeddings=_TINY["text_len"]),
+        vision_config=dict(hidden_size=_TINY["width"],
+                           intermediate_size=_TINY["mlp_dim"],
+                           num_hidden_layers=_TINY["layers"],
+                           num_attention_heads=_TINY["heads"],
+                           image_size=_TINY["image_size"],
+                           patch_size=_TINY["patch"]),
+    )
+    torch.manual_seed(1)
+    tm = TorchSiglip(cfg).eval()
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, _TINY["vocab"], size=(2, _TINY["text_len"]))
+    px = rng.normal(size=(2, _TINY["image_size"], _TINY["image_size"], 3)
+                    ).astype(np.float32)
+
+    loop = SigLIPModel(**_TINY)
+    pp = SigLIPModel(pipeline_stages=2, mesh=None, **_TINY)
+    ids_j = jnp.asarray(ids.astype(np.int32))
+    px_j = jnp.asarray(px)
+    kw = dict(width=_TINY["width"], heads=_TINY["heads"],
+              layers=_TINY["layers"])
+    loop_params = port_siglip_state_dict(
+        tm.state_dict(),
+        loop.init(jax.random.PRNGKey(0), ids_j, px_j, train=False)["params"],
+        **kw)
+    pp_params = port_siglip_state_dict(
+        tm.state_dict(),
+        pp.init(jax.random.PRNGKey(0), ids_j, px_j, train=False)["params"],
+        **kw)
+    # pipelined tree really is stage-stacked
+    assert "pipeline" in pp_params["text_model"]
+    want_t, want_i = loop.apply({"params": loop_params}, ids_j, px_j,
+                                train=False)
+    got_t, got_i = pp.apply({"params": pp_params}, ids_j, px_j, train=False)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-5, atol=1e-5)

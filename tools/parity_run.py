@@ -146,7 +146,9 @@ def main(argv=None):
         import shutil
 
         shutil.rmtree(fixture_dir, ignore_errors=True)
-        if opts.out:  # keep run artifacts only when the CSV was redirected
+        if opts.out:  # remove run artifacts only when the CSV was
+            # redirected elsewhere; without --out the export CSV lives
+            # inside the _ckpts dir and must survive
             shutil.rmtree(f"{fixture_dir.rstrip('/')}_ckpts",
                           ignore_errors=True)
     for key in keys:
