@@ -282,3 +282,91 @@ def test_dp_pp_train_step_on_stage_mesh():
     l1, l2 = float(m1["train_loss"]), float(m2["train_loss"])
     assert np.isfinite(l1) and np.isfinite(l2)
     assert l2 < l1  # same batch twice: the pipelined grads update params
+
+
+def test_pipelined_training_trajectory_matches_loop_model():
+    """Strongest PP pin: per-step train losses of the GPipe'd tower on a
+    DP x PP mesh equal the plain per-layer loop model's, from identical
+    (converted) inits on identical batches — pipelining changes the
+    schedule, not the math."""
+    from types import SimpleNamespace
+
+    from flax import linen as nn
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.siglip import (
+        SigLIPTextTower, stack_tower_layers,
+    )
+    from multimodal_clinical_tpu.parallel.mesh import batch_sharding, make_mesh
+    from multimodal_clinical_tpu.parallel.sharding import place_state
+
+    tiny_text = {k: v for k, v in TINY.items()
+                 if k not in ("patch", "image_size")}
+    mesh_pp = _pp_mesh()
+    mesh_dp = make_mesh({"data": 8, "model": 1})
+
+    def fusion(pipelined):
+        class Net(nn.Module):
+            num_classes: int = 3
+
+            @nn.compact
+            def __call__(self, x1, x2, train=True):
+                tower = SigLIPTextTower(
+                    pipeline_stages=4 if pipelined else 0,
+                    mesh=mesh_pp if pipelined else None,
+                    name="tower", **tiny_text)
+                l1 = nn.Dense(self.num_classes, name="x1_model")(tower(x1))
+                l2 = nn.Dense(self.num_classes, name="x2_model")(tower(x2))
+                return {"logits": [l1, l2]}
+
+        return Net()
+
+    rng = np.random.default_rng(2)
+    batch = 8
+    ids1 = rng.integers(0, TINY["vocab"], (batch, 8)).astype(np.int32)
+    ids2 = rng.integers(0, TINY["vocab"], (batch, 8)).astype(np.int32)
+    label = rng.integers(0, 3, batch).astype(np.int32)
+    args = SimpleNamespace(num_classes=3, batch_size=batch,
+                           learning_rate=0.05, num_epochs=1,
+                           use_scheduler=False, seed=0)
+
+    spec_loop = ModelSpec(module=fusion(False), contract="jlogits")
+    spec_pp = ModelSpec(module=fusion(True), contract="jlogits")
+    sample = [jnp.asarray(ids1[:2]), jnp.asarray(ids2[:2])]
+    state_loop = create_train_state(spec_loop, args, jax.random.PRNGKey(0),
+                                    sample, steps_per_epoch=2)
+    state_pp = create_train_state(spec_pp, args, jax.random.PRNGKey(0),
+                                  sample, steps_per_epoch=2)
+    # identical weights: convert the loop init into the stacked layout
+    # (fresh copies: the train step donates its input state, so shared
+    # leaves would be deleted by whichever model steps first)
+    params = dict(state_loop.params)
+    params["tower"] = stack_tower_layers(state_loop.params["tower"], 4)
+    state_pp = state_pp.replace(params=jax.tree.map(jnp.array, params))
+    state_pp = place_state(state_pp, mesh_pp)
+    state_loop = place_state(state_loop, mesh_dp)
+
+    def device_batch(mesh):
+        bs = batch_sharding(mesh)
+        return {
+            "x1": jax.device_put(ids1, bs), "x2": jax.device_put(ids2, bs),
+            "label": jax.device_put(label, bs),
+            "idx": jax.device_put(np.arange(batch, dtype=np.int32), bs),
+            "valid": jax.device_put(np.ones(batch, np.float32), bs),
+        }
+
+    losses = {}
+    for name, spec, state, mesh in (
+            ("loop", spec_loop, state_loop, mesh_dp),
+            ("pp", spec_pp, state_pp, mesh_pp)):
+        with mesh:
+            step = make_train_step(spec)
+            ls = []
+            db = device_batch(mesh)
+            for _ in range(3):
+                state, m = step(state, db)
+                ls.append(float(m["train_loss"]))
+        losses[name] = ls
+    np.testing.assert_allclose(losses["pp"], losses["loop"],
+                               rtol=1e-4, atol=1e-5)
