@@ -207,11 +207,13 @@ def get_model_spec(args, n_train: int, mesh=None) -> Tuple[ModelSpec, Dict]:
     # TPU-native scaling surface for towers deeper than one chip;
     # parallel/pipeline.py / models/siglip.PipelinedEncoderStack
     pp_stages = int(getattr(args, "pipeline_stages", 0) or 0)
+    seq_sharding = bool(getattr(args, "sequence_sharding", False))
     module = Food101FusionNet(
         num_classes=int(args.num_classes), dtype=resolve_dtype(args),
         pipeline_stages=pp_stages,
         pipeline_microbatches=int(getattr(args, "pipeline_microbatches", 4)),
-        mesh=mesh if pp_stages > 1 else None)
+        sequence_sharding=seq_sharding,
+        mesh=mesh if (pp_stages > 1 or seq_sharding) else None)
     common = dict(sched_step_size=50, sched_gamma=0.5)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)

@@ -71,6 +71,29 @@ class EncoderBlock(nn.Module):
         return x + h
 
 
+def _maybe_shard_sequence(x, mesh, enabled: bool, initializing: bool):
+    """Sequence parallelism (SP): constrain (B, L, W) activations to
+    ``P(None, "model")`` — the token/patch dim sharded over the model
+    axis — and let GSPMD insert the attention all-gathers.  Forward-
+    looking scaling surface like FSDP/PP: at SigLIP's 196-patch /
+    64-token lengths the collectives outweigh the savings, but the same
+    annotation is how long-sequence towers shard on TPU.  No-op without
+    a model axis > 1 (and during init)."""
+    if not enabled or mesh is None or initializing:
+        return x
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS
+
+    if dict(mesh.shape).get(MODEL_AXIS, 1) <= 1:
+        return x
+    if x.shape[1] % mesh.shape[MODEL_AXIS]:
+        return x  # indivisible sequence: stay replicated
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, MODEL_AXIS)))
+
+
 class _StageBlock(nn.Module):
     """One pipeline stage: ``blocks`` consecutive EncoderBlocks (named
     ``layers_{j}`` to mirror the unpipelined towers, so ported per-layer
@@ -248,6 +271,8 @@ class SigLIPVisionTower(nn.Module):
     # GPipe over a mesh 'stage' axis (PipelinedEncoderStack); 0 = off
     pipeline_stages: int = 0
     pipeline_microbatches: int = 4
+    # sequence parallelism: patch dim sharded over the 'model' axis
+    sequence_sharding: bool = False
     mesh: Any = None
 
     @nn.compact
@@ -264,6 +289,8 @@ class SigLIPVisionTower(nn.Module):
                          (1, (self.image_size // self.patch) ** 2,
                           self.width), jnp.float32)
         x = x + pos.astype(x.dtype)
+        x = _maybe_shard_sequence(x, self.mesh, self.sequence_sharding,
+                                  self.is_initializing())
         if self.pipeline_stages > 1:
             x = PipelinedEncoderStack(
                 layers=self.layers, stages=self.pipeline_stages,
@@ -291,6 +318,7 @@ class SigLIPTextTower(nn.Module):
     vocab: int = VOCAB
     pipeline_stages: int = 0
     pipeline_microbatches: int = 4
+    sequence_sharding: bool = False
     mesh: Any = None
 
     @nn.compact
@@ -301,6 +329,8 @@ class SigLIPTextTower(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.02),
                          (1, self.text_len, self.width), jnp.float32)
         x = x + pos[:, : x.shape[1], :].astype(x.dtype)
+        x = _maybe_shard_sequence(x, self.mesh, self.sequence_sharding,
+                                  self.is_initializing())
         if self.pipeline_stages > 1:
             x = PipelinedEncoderStack(
                 layers=self.layers, stages=self.pipeline_stages,
@@ -335,6 +365,7 @@ class SigLIPModel(nn.Module):
     vocab: int = VOCAB
     pipeline_stages: int = 0
     pipeline_microbatches: int = 4
+    sequence_sharding: bool = False
     mesh: Any = None
 
     @nn.compact
@@ -342,6 +373,7 @@ class SigLIPModel(nn.Module):
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         pp = dict(pipeline_stages=self.pipeline_stages,
                   pipeline_microbatches=self.pipeline_microbatches,
+                  sequence_sharding=self.sequence_sharding,
                   mesh=self.mesh)
         text = SigLIPTextTower(
             dtype=self.dtype, width=self.width, layers=self.layers,

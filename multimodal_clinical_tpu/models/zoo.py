@@ -230,6 +230,9 @@ class Food101FusionNet(nn.Module):
     # models/siglip.PipelinedEncoderStack).  0 = off.
     pipeline_stages: int = 0
     pipeline_microbatches: int = 4
+    # sequence parallelism: token/patch dims sharded over 'model'
+    # (config key sequence_sharding + mesh_shape: {model: M})
+    sequence_sharding: bool = False
     mesh: Any = None
 
     @nn.compact
@@ -240,6 +243,7 @@ class Food101FusionNet(nn.Module):
             dtype=self.dtype, name="model",
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,
+            sequence_sharding=self.sequence_sharding,
             mesh=self.mesh)(x1, x2, train)
         l1 = HeadMLP(self.num_classes, dtype=self.dtype, name="x1_model")(
             text_emb, train

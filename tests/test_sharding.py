@@ -402,3 +402,67 @@ def test_dryrun_never_purges_inherited_cache(tmp_path, monkeypatch):
     assert calls[1] != str(cache)             # rerun on a throwaway dir
     assert (cache / "tpu_entry.bin").exists()  # inherited dir untouched
     assert not os.path.exists(calls[1])        # throwaway cleaned up
+
+
+def test_siglip_sequence_sharding_matches_unsharded():
+    """SP (sequence parallelism): token/patch dims constrained to
+    P(None, 'model') inside the towers — GSPMD inserts the attention
+    collectives; outputs equal the unsharded forward, and a TP x SP
+    train step runs finite on the mesh."""
+    from types import SimpleNamespace
+
+    from flax import linen as nn
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models.siglip import SigLIPModel
+    from multimodal_clinical_tpu.parallel.mesh import (
+        batch_sharding, make_mesh,
+    )
+    from multimodal_clinical_tpu.parallel.sharding import place_state
+
+    tiny = dict(width=16, layers=2, heads=2, mlp_dim=32, patch=8,
+                image_size=16, text_len=8, vocab=50)
+    mesh = make_mesh({"data": 4, "model": 2})
+    plain = SigLIPModel(**tiny)
+    sp = SigLIPModel(sequence_sharding=True, mesh=mesh, **tiny)
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 50, (8, 8)).astype(np.int32))
+    px = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    variables = plain.init(jax.random.PRNGKey(0), ids, px)
+    want_t, want_i = plain.apply(variables, ids, px)
+    got_t, got_i = jax.jit(lambda v, a, b: sp.apply(v, a, b))(
+        variables, ids, px)
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               atol=1e-5, rtol=1e-5)
+
+    class SPFusion(nn.Module):
+        num_classes: int = 3
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            t, i = SigLIPModel(sequence_sharding=True, mesh=mesh,
+                               name="model", **tiny)(x1, x2, train)
+            return {"logits": [nn.Dense(self.num_classes,
+                                        name="x1_model")(t),
+                               nn.Dense(self.num_classes,
+                                        name="x2_model")(i)]}
+
+    args = SimpleNamespace(num_classes=3, batch_size=8, learning_rate=0.05,
+                           num_epochs=1, use_scheduler=False, seed=0)
+    spec = ModelSpec(module=SPFusion(), contract="jlogits")
+    state = create_train_state(spec, args, jax.random.PRNGKey(0),
+                               [ids[:2], px[:2]], steps_per_epoch=2)
+    state = place_state(state, mesh)
+    label = rng.integers(0, 3, 8).astype(np.int32)
+    bs = batch_sharding(mesh)
+    db = {"x1": jax.device_put(np.asarray(ids), bs),
+          "x2": jax.device_put(np.asarray(px), bs),
+          "label": jax.device_put(label, bs),
+          "idx": jax.device_put(np.arange(8, dtype=np.int32), bs),
+          "valid": jax.device_put(np.ones(8, np.float32), bs)}
+    with mesh:
+        _, m = make_train_step(spec)(state, db)
+    assert np.isfinite(float(m["train_loss"]))
