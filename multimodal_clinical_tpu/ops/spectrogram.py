@@ -123,8 +123,8 @@ def cremad_spectrogram(
                           center=False)
     # detrend='constant': remove each segment's mean before windowing
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    win = jnp.asarray(_tukey_periodic(nperseg, 0.25), jnp.float32)
-    frames = frames * win
+    win_np = _tukey_periodic(nperseg, 0.25)
+    frames = frames * jnp.asarray(win_np, jnp.float32)
     cos_m, sin_m = _dft_matrices(nperseg)
     b, t, _ = frames.shape
     flat = frames.reshape(b * t, nperseg)
@@ -134,8 +134,7 @@ def cremad_spectrogram(
     # scaling='density', mode='psd', one-sided (nperseg even -> last bin
     # is Nyquist, not doubled)
     n_bins = nperseg // 2 + 1
-    scale = 1.0 / (float(fs) * float(np.sum(_tukey_periodic(nperseg, 0.25)
-                                            ** 2)))
+    scale = 1.0 / (float(fs) * float(np.sum(win_np ** 2)))
     sided = np.full((n_bins,), 2.0, np.float32)
     sided[0] = 1.0
     if nperseg % 2 == 0:

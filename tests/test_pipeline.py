@@ -220,34 +220,43 @@ def test_stack_tower_layers_ports_loop_params():
                                atol=1e-6, rtol=1e-6)
 
 
+
+def _tiny_siglip_fusion(mesh, vocab=TINY["vocab"], num_classes=4):
+    """Dual-tower SigLIP (TINY geometry, 4 GPipe stages on ``mesh``) + the
+    reference's two Dense heads — shared by the step-level and Trainer-level
+    PP tests."""
+    from flax import linen as nn
+    from multimodal_clinical_tpu.models.siglip import SigLIPModel
+
+    tiny = dict(TINY, vocab=vocab)
+
+    class TinyFusion(nn.Module):
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            text, img = SigLIPModel(pipeline_stages=4, mesh=mesh,
+                                    name="model", **tiny)(x1, x2, train)
+            l1 = nn.Dense(self.num_classes, name="x1_model")(text)
+            l2 = nn.Dense(self.num_classes, name="x2_model")(img)
+            return {"logits": [l1, l2]}
+
+    return TinyFusion(num_classes=num_classes)
+
+
 def test_dp_pp_train_step_on_stage_mesh():
     """Full train step (forward, loss, backward, update) of a pipelined
     dual-tower fusion net on a DP x PP mesh: stage params sharded P('stage'),
     loss finite and decreasing."""
     from types import SimpleNamespace
 
-    from flax import linen as nn
     from multimodal_clinical_tpu.engine.spec import ModelSpec
     from multimodal_clinical_tpu.engine.state import create_train_state
     from multimodal_clinical_tpu.engine.steps import make_train_step
-    from multimodal_clinical_tpu.models.siglip import SigLIPModel
     from multimodal_clinical_tpu.parallel.mesh import batch_sharding
     from multimodal_clinical_tpu.parallel.sharding import place_state
 
     mesh = _pp_mesh()
-
-    class TinyPPFusion(nn.Module):
-        mesh: object = None
-        num_classes: int = 4
-
-        @nn.compact
-        def __call__(self, x1, x2, train=True):
-            text, img = SigLIPModel(pipeline_stages=4, mesh=self.mesh,
-                                    name="model", **TINY)(x1, x2, train)
-            l1 = nn.Dense(self.num_classes, name="x1_model")(text)
-            l2 = nn.Dense(self.num_classes, name="x2_model")(img)
-            return {"logits": [l1, l2]}
-
     rng = np.random.default_rng(0)
     batch = 8
     ids = (rng.integers(0, TINY["vocab"], (batch, 8))).astype(np.int32)
@@ -257,7 +266,7 @@ def test_dp_pp_train_step_on_stage_mesh():
     args = SimpleNamespace(num_classes=4, batch_size=batch,
                            learning_rate=0.1, num_epochs=1,
                            use_scheduler=False, seed=0)
-    spec = ModelSpec(module=TinyPPFusion(mesh=mesh), contract="jlogits")
+    spec = ModelSpec(module=_tiny_siglip_fusion(mesh), contract="jlogits")
     state = create_train_state(spec, args, jax.random.PRNGKey(0),
                                [jnp.asarray(ids[:2]), jnp.asarray(px[:2])],
                                steps_per_epoch=2)
@@ -378,32 +387,16 @@ def test_full_trainer_cycle_on_pp_mesh(tmp_path):
     integration gap between pipeline_apply and the Trainer."""
     from types import SimpleNamespace
 
-    from flax import linen as nn
     from multimodal_clinical_tpu.data.synthetic import make_synthetic_splits
     from multimodal_clinical_tpu.engine.run import (
         DataBundle, build_loaders, init_state_on_mesh,
     )
     from multimodal_clinical_tpu.engine.spec import ModelSpec
     from multimodal_clinical_tpu.engine.trainer import Trainer
-    from multimodal_clinical_tpu.models.siglip import SigLIPModel
     from multimodal_clinical_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh({"data": 2, "model": 1, "stage": 4})
-    tiny = dict(width=16, layers=4, heads=2, mlp_dim=32, patch=8,
-                image_size=16, text_len=8, vocab=128)
-
-    class TinyFusion(nn.Module):
-        num_classes: int = 4
-
-        @nn.compact
-        def __call__(self, x1, x2, train=True):
-            t, i = SigLIPModel(pipeline_stages=4, mesh=mesh, name="model",
-                               **tiny)(x1, x2, train)
-            return {"logits": [nn.Dense(self.num_classes,
-                                        name="x1_model")(t),
-                               nn.Dense(self.num_classes,
-                                        name="x2_model")(i)]}
-
+    # vocab 128: the synthetic token twin draws ids below SYNTH_VOCAB=100
     args = SimpleNamespace(
         num_classes=4, batch_size=8, learning_rate=0.05, num_epochs=2,
         dropout_p=0.0, data_path="/nonexistent", num_cpus=1,
@@ -415,7 +408,8 @@ def test_full_trainer_cycle_on_pp_mesh(tmp_path):
         *make_synthetic_splits("food101", 4, n_train=16, n_val=8, n_test=8,
                                shapes=[(8,), (16, 16, 3)]),
         synthetic=True)
-    spec = ModelSpec(module=TinyFusion(), contract="jlogits")
+    spec = ModelSpec(module=_tiny_siglip_fusion(mesh, vocab=128),
+                     contract="jlogits")
     loaders = build_loaders(args, data, mesh)
     state = init_state_on_mesh(spec, args, data, mesh)
     trainer = Trainer(args, spec, state, *loaders)
