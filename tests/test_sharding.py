@@ -466,3 +466,29 @@ def test_siglip_sequence_sharding_matches_unsharded():
     with mesh:
         _, m = make_train_step(spec)(state, db)
     assert np.isfinite(float(m["train_loss"]))
+
+
+def test_param_spec_stage_rules():
+    """Stacked GPipe stage params: leading dim over 'stage'; FSDP composes
+    on a later dim for large leaves; non-matching leading dims and
+    non-stage paths are untouched."""
+    class FakePath:
+        def __init__(self, key):
+            self.key = key
+
+    path = (FakePath("pipeline"), FakePath("stages"), FakePath("mlp_fc1"),
+            FakePath("kernel"))
+    stacked = np.zeros((4, 16, 8192))
+    assert param_spec(path, stacked, model_axis_size=1,
+                      stage_axis_size=4) == P("stage", None, None)
+    # FSDP shards a non-stage dim (prefers the last divisible one)
+    assert param_spec(path, stacked, model_axis_size=1, fsdp_axis_size=2,
+                      stage_axis_size=4) == P("stage", None, DATA_AXIS)
+    # leading dim != stage-axis size: not a stage stack, normal rules
+    not_stacked = np.zeros((3, 16, 64))
+    assert param_spec(path, not_stacked, model_axis_size=1,
+                      stage_axis_size=4) == P()
+    # same shape but outside a "stages" subtree: normal rules
+    plain_path = (FakePath("tower"), FakePath("mlp_fc1"), FakePath("kernel"))
+    assert param_spec(plain_path, stacked, model_axis_size=1,
+                      stage_axis_size=4) == P()
