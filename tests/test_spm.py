@@ -151,3 +151,54 @@ def test_load_spm_gate(tmp_path):
     (tmp_path / "tokenizer.model").write_bytes(serialize_model(PIECES))
     m = load_spm(Args())
     assert m is not None and m.encode("the dog") == [4, 10]
+
+
+def test_proto_reader_against_real_sentencepiece_schema(tmp_path):
+    """Fully independent wire-format golden: a ModelProto serialized by
+    the REAL sentencepiece schema (transformers' vendored
+    sentencepiece_model_pb2, protoc-generated from google/sentencepiece's
+    own .proto) parses to the same pieces/ids/flags as our minimal
+    reader — so the reader can't share a misunderstanding with the
+    test-side writer above.  Runs the serializer in a clean subprocess
+    (pure-python protobuf impl must be selected before first import)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "real.model"
+    code = f"""
+import os
+os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+from transformers.utils import sentencepiece_model_pb2_new as pb
+m = pb.ModelProto()
+for piece, score, ptype in {PIECES!r}:
+    sp = m.pieces.add()
+    sp.piece = piece
+    sp.score = score
+    sp.type = ptype
+m.trainer_spec.model_type = 1
+m.trainer_spec.unk_id = 0
+m.trainer_spec.bos_id = 1
+m.trainer_spec.eos_id = 2
+m.trainer_spec.pad_id = -1
+m.normalizer_spec.add_dummy_prefix = True
+m.normalizer_spec.remove_extra_whitespaces = True
+m.normalizer_spec.escape_whitespaces = True
+open({str(out)!r}, "wb").write(m.SerializeToString())
+"""
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        pytest.skip(f"vendored pb2 unavailable: {proc.stderr[-300:]}")
+
+    from multimodal_clinical_tpu.data.spm import SentencePieceModel
+
+    real = SentencePieceModel.from_file(str(out))
+    ours = SentencePieceModel.from_bytes(serialize_model(PIECES))
+    assert [p[0] for p in real.pieces] == [p[0] for p in PIECES]
+    np.testing.assert_allclose([p[1] for p in real.pieces],
+                               [p[1] for p in PIECES], atol=1e-6)
+    assert (real.unk_id, real.bos_id, real.eos_id, real.pad_id) == \
+        (0, 1, 2, -1)
+    assert real.add_dummy_prefix and real.escape_whitespaces
+    for text in ("the cats", "qq the", "a cat"):
+        assert real.encode(text) == ours.encode(text)
