@@ -48,11 +48,17 @@ TARGETS = {
         "test_epoch/test_avg_x2_acc": (0.7649, {}),
     },
     ("enrico", "jlogits"): {
-        # enrico/data.csv:2 (label-noise p=0.05)
+        # enrico/data.csv:2 joint + data_x1.csv:2/data_x2.csv:2 unimodal
+        # (label-noise p=0.05; make_graph.py titles the sweep "vs Label
+        # Noise" and plots all three CSVs on the same p axis)
         "test_epoch/test_avg_acc": (0.4007, {"label_noise_p": 0.05}),
+        "test_epoch/test_avg_x1_acc": (0.0702, {"label_noise_p": 0.05}),
+        "test_epoch/test_avg_x2_acc": (0.4743, {"label_noise_p": 0.05}),
     },
     ("enrico", "ensemble"): {
         "test_epoch/test_avg_acc": (0.3459, {"label_noise_p": 0.05}),
+        "test_epoch/test_avg_x1_acc": (0.0570, {"label_noise_p": 0.05}),
+        "test_epoch/test_avg_x2_acc": (0.4625, {"label_noise_p": 0.05}),
     },
     # cremad / food101: the reference publishes no accuracy for these
     # (README.md:10-17 is a checklist) — report-only, no verdict.
