@@ -145,6 +145,15 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
         raise NotImplementedError(
             "overfit_batches is a single-run sanity mode "
             "(utils/run_trainer.py:54); run it without num_seeds>1")
+    if (int(getattr(args, "pipeline_stages", 0) or 0) > 1
+            or getattr(args, "sequence_sharding", False)):
+        # the sweep's get_model_spec runs mesh-less, so the PP/SP flags
+        # would silently fall back to the sequential/replicated paths —
+        # refuse loudly instead of quietly dropping the user's sharding
+        raise NotImplementedError(
+            "pipeline_stages / sequence_sharding need a device mesh; the "
+            "vmapped multi-seed sweep runs mesh-less seed replicas — run "
+            "one seed per job for pipelined/sequence-sharded models")
 
     data: DataBundle = benchmark_module.get_data(args)
     spec, opt_kwargs = benchmark_module.get_model_spec(

@@ -519,3 +519,20 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
                     jax.tree_util.tree_leaves(trainer2.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-7)
+
+
+def test_multiseed_refuses_pp_and_sp():
+    """The vmapped sweep runs mesh-less seed replicas: pipeline/sequence
+    sharding flags must refuse loudly instead of silently falling back to
+    the sequential/replicated paths."""
+    import pytest
+
+    from multimodal_clinical_tpu.benchmarks import food101
+    from multimodal_clinical_tpu.engine.multiseed import run_multiseed
+
+    args = make_args(pipeline_stages=4)
+    with pytest.raises(NotImplementedError, match="mesh-less"):
+        run_multiseed(args, food101, seeds=[0, 1])
+    args = make_args(sequence_sharding=True)
+    with pytest.raises(NotImplementedError, match="mesh-less"):
+        run_multiseed(args, food101, seeds=[0, 1])
