@@ -970,3 +970,173 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
     for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
         assert abs(t_loss - o_loss) < 5e-3, (torch_epoch_losses,
                                              ours_epoch_losses)
+
+
+def _load_reference_mimic():
+    """Import the reference's mimic/joint_model.py read-only (its FusionNet
+    is plain torch; the Lightning base it also defines needs only a stubbed
+    pytorch_lightning.LightningModule at import time)."""
+    sys.path.insert(0, REFERENCE)  # utils.BaseModel / existing_algos
+    sys.path.insert(0, os.path.join(REFERENCE, "mimic"))
+    sys.modules.setdefault("pytorch_lightning",
+                           types.ModuleType("pytorch_lightning"))
+    # a fresh subclassable stand-in (bare ``object`` breaks the MRO of
+    # ``class JointLogitsBaseModel(pl.LightningModule, ABC)``)
+    sys.modules["pytorch_lightning"].LightningModule = type(
+        "LightningModule", (), {})
+    sys.modules.pop("joint_model", None)  # evict another dir's module
+    try:
+        import joint_model as ref_mimic  # type: ignore
+    finally:
+        sys.modules.pop("joint_model", None)
+        sys.path.pop(0)
+        sys.path.pop(0)
+    return ref_mimic
+
+
+def _torch_test_epoch(net, x1, x2, y, batch):
+    """The reference's test protocol (utils/BaseModel.py:203-267): per-batch
+    fused loss/acc means + full-epoch unimodal offset correction, computed
+    here independently in numpy (NOT via our engine's offset_correct) so the
+    comparison stays two-sided."""
+    net.eval()
+    losses, accs, stacks = [], [], []
+    with torch.no_grad():
+        for s in range(0, len(y), batch):
+            sl = slice(s, s + batch)
+            l1, l2, avg, loss = net(x1[sl], x2[sl], y[sl])
+            losses.append(float(loss))
+            accs.append(float((avg.argmax(1) == y[sl]).float().mean()))
+            stacks.append(torch.stack([l1, l2], dim=1).numpy())
+    logits = np.concatenate(stacks)                      # (N, M, C)
+    labels = y.numpy()
+    m_out = logits.mean(axis=0)                          # (M, C)
+    offset = m_out.mean(axis=0, keepdims=True) - m_out   # BaseModel.py:247-249
+    corrected = logits + offset
+    out = {"test_avg_loss": float(np.mean(losses)),
+           "test_avg_acc": float(np.mean(accs))}
+    for i in range(2):
+        out[f"test_avg_x{i + 1}_acc"] = float(
+            np.mean(corrected[:, i, :].argmax(axis=1) == labels))
+        out[f"test_avg_x{i + 1}_acc_uncal"] = float(
+            np.mean(logits[:, i, :].argmax(axis=1) == labels))
+    return out
+
+
+def test_mimic_multiseed_convergence_parity(tmp_path):
+    """Multi-seed END-POINT accuracy parity on the MIMIC twin — the dataset
+    whose published numbers (mimic/mimic_jlogits.csv, 50-seed mean 0.7727)
+    are the north-star parity target.  Per seed: the reference's OWN
+    FusionNet (mimic/joint_model.py:72-125) trained with the reference's
+    protocol (SGD momentum 0.9, wd 1e-4, lr 0.1, no scheduler —
+    BaseModel.py:275-285 + mimic.yaml) vs our engine from PORTED inits on
+    identical data/order; final test metrics (fused acc + offset-corrected
+    unimodal accs, BaseModel.py:244-267) must agree per seed AND in the
+    across-seed mean — the same mean comparison mimic/analyze_data.py:4-23
+    runs over the 50-seed CSVs."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_clinical_tpu.engine.metrics import eval_epoch_summary
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import (make_eval_step,
+                                                      make_train_step)
+    from multimodal_clinical_tpu.models import torch_port
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    ref_mimic = _load_reference_mimic()
+    num_classes, batch, epochs, lr = 6, 32, 4, 0.1  # mimic.yaml protocol
+    seeds = [0, 1, 2]
+    torch_runs, ours_runs = [], []
+
+    for seed in seeds:
+        train = make_synthetic_dataset("mimic", 512, num_classes,
+                                       seed=seed, dirs_seed=seed)
+        test = make_synthetic_dataset("mimic", 256, num_classes,
+                                      seed=seed + 100, dirs_seed=seed)
+
+        # ---- reference torch loop (the reference's own FusionNet) ----
+        torch.manual_seed(seed)
+        net = ref_mimic.FusionNet(
+            mlp_input_dim=5, gru_input_features=12, gru_hidden_dim=32,
+            num_layers_gru=1, num_classes=num_classes,
+            loss_fn=torch.nn.CrossEntropyLoss())
+        opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
+                              weight_decay=1e-4)
+        tx1 = torch.tensor(train.modalities[0])
+        tx2 = torch.tensor(train.modalities[1])
+        ty = torch.tensor(train.labels.astype(np.int64))
+        net.train()
+        for _ in range(epochs):
+            for s in range(0, len(ty), batch):  # sequential order
+                sl = slice(s, s + batch)
+                opt.zero_grad()
+                _, _, _, loss = net(tx1[sl], tx2[sl], ty[sl])
+                loss.backward()
+                opt.step()
+        torch_runs.append(_torch_test_epoch(
+            net, torch.tensor(test.modalities[0]),
+            torch.tensor(test.modalities[1]),
+            torch.tensor(test.labels.astype(np.int64)), batch))
+
+        # ---- our engine from the SAME initial weights ----
+        args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                               learning_rate=lr, num_epochs=epochs,
+                               use_scheduler=False, seed=seed)
+        spec = ModelSpec(module=MimicFusionNet(num_classes=num_classes))
+        sample = [jnp.asarray(train.modalities[0][:2]),
+                  jnp.asarray(train.modalities[1][:2])]
+        state = create_train_state(spec, args, jax.random.PRNGKey(seed),
+                                   sample, steps_per_epoch=16, momentum=0.9,
+                                   weight_decay=1e-4)
+        torch.manual_seed(seed)
+        sd = ref_mimic.FusionNet(
+            mlp_input_dim=5, gru_input_features=12, gru_hidden_dim=32,
+            num_layers_gru=1, num_classes=num_classes,
+            loss_fn=torch.nn.CrossEntropyLoss()).state_dict()
+
+        def lin(name):
+            return torch_port.port_torch_linear(sd[name + ".weight"],
+                                                sd[name + ".bias"])
+
+        params = dict(state.params)
+        params["x1_model"] = {
+            f"TorchDense_{i}": lin(f"mlp.fc{i + 1}") for i in range(4)}
+        params["x2_model"] = {
+            "GRUCell_0": torch_port.port_gru_cell(sd, prefix="gru.gru."),
+            "TorchDense_0": lin("gru.fc1"),
+            "TorchDense_1": lin("gru.fc2"),
+            "TorchDense_2": lin("gru.fc3"),
+        }
+        state = state.replace(params=params)
+
+        step = make_train_step(spec)
+        loader = Loader(train, batch, SequentialSampler(len(train)))
+        for _ in range(epochs):
+            for b in loader:
+                state, _ = step(state, b)
+        eval_step = make_eval_step(spec)
+        outputs = [eval_step(state, b)
+                   for b in Loader(test, batch, SequentialSampler(len(test)))]
+        summary = eval_epoch_summary(outputs, "test")
+        ours_runs.append({k[len("test_epoch/"):]: v
+                          for k, v in summary.items()})
+
+    keys = ["test_avg_acc", "test_avg_x1_acc", "test_avg_x2_acc",
+            "test_avg_x1_acc_uncal", "test_avg_x2_acc_uncal"]
+    for t_run, o_run in zip(torch_runs, ours_runs):
+        assert abs(t_run["test_avg_loss"] - o_run["test_avg_loss"]) < 1e-2, (
+            t_run, o_run)
+        for k in keys:
+            assert abs(t_run[k] - o_run[k]) < 0.02, (k, t_run, o_run)
+    # the analyze_data.py-style across-seed mean comparison
+    for k in keys:
+        t_mean = float(np.mean([r[k] for r in torch_runs]))
+        o_mean = float(np.mean([r[k] for r in ours_runs]))
+        assert abs(t_mean - o_mean) < 0.015, (k, t_mean, o_mean)
+    # the planted signal is learned (the comparison is not 1/6-vs-1/6)
+    assert all(r["test_avg_acc"] > 0.4 for r in torch_runs), torch_runs
