@@ -9,8 +9,9 @@ balanced train sampler but never passes it to the DataLoader
 
 Model variants (mimic/__init__.py factory):
   jlogits  — MLP(5->...C) + GRU(12->32) logit mean (joint_model.py)
-  ensemble — same nets, WEIGHTED fusion w1=0.8 / w2=1.5 for both loss and
-             logits (ensemble_model.py:127-128,157)
+  ensemble — same nets, WEIGHTED train loss / train metrics w1=0.8 /
+             w2=1.5 (ensemble_model.py:157,160); val/test fuse the PLAIN
+             mean (x1+x2)/2 (ensemble_model.py:197-199,234-239)
   jprobas  — probability fusion (joint_model_proba.py)
   ogm_ge   — manual-opt OGM-GE; no 4-D params in MLP/GRU so the modulation
              is a documented no-op (ogm_ge_model.py:192-193, SURVEY §2.3)

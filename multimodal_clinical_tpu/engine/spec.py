@@ -46,7 +46,9 @@ class ModelSpec:
     # istrain defaults True so eval also fuses probs) or "logits"
     # (jprobas_jlogits variants, avmnist/joint_model_proba_logits.py).
     eval_fusion: Optional[str] = None
-    # ensemble fused-logit / loss weights (mimic/ensemble_model.py:127-128).
+    # ensemble TRAIN loss / train-metric fusion weights
+    # (mimic/ensemble_model.py:157,160); eval always fuses the plain mean
+    # (ensemble_model.py:197-199,234-239).
     fusion_weights: Optional[Sequence[float]] = None
     # per-modality CE scale (cremad/ensemble_model.py:54-55 uses 3.0).
     unimodal_loss_scale: float = 1.0

@@ -301,14 +301,15 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
             loss = C.cross_entropy(fused, label, valid)
         elif spec.contract == "ensemble":
             report = logits
-            fused = C.fuse_logits(logits, spec.fusion_weights)
+            # eval fuses the PLAIN logits mean for every ensemble variant
+            # and averages the losses (BaseModel.py:410-412) — the mimic
+            # w1/w2 weighting is TRAIN-only: its overridden validation and
+            # test steps both fuse (x1+x2)/2 and mean the losses
+            # (mimic/ensemble_model.py:197-199, 234-239)
+            fused = C.fuse_logits(logits)
             ce = [C.cross_entropy(l, label, valid) * spec.unimodal_loss_scale
                   for l in logits]
-            if spec.fusion_weights is not None:
-                loss = sum(w * c for w, c in zip(spec.fusion_weights, ce))
-            else:
-                # eval loss is the MEAN (BaseModel.py:412), unlike the train sum
-                loss = sum(ce) / len(ce)
+            loss = sum(ce) / len(ce)
             if spec.vicreg_weight:
                 loss = loss + spec.vicreg_weight * vicreg_loss(
                     out["embeddings"][0], out["embeddings"][1], valid

@@ -62,11 +62,11 @@ def test_predict_train_split_one_row_per_sample(tmp_path):
     assert sorted(r[0] for r in rows) == list(range(len(data.train)))
 
 
-def test_predict_weighted_fusion_matches_contract(tmp_path):
-    """mimic's ensemble fuses 0.8*l1 + 1.5*l2 — a weighted SUM
-    (mimic/ensemble_model.py:127-128 via contracts.fuse_logits).  The
-    CSV's fused_logprob column must use exactly that fusion (a weighted
-    MEAN would shift every log-probability)."""
+def test_predict_ensemble_fusion_is_eval_mean(tmp_path):
+    """mimic's w1/w2 weighting is TRAIN-only: the reference's test step
+    fuses the PLAIN mean (x1+x2)/2 (mimic/ensemble_model.py:234-239), so
+    the CSV's fused_logprob column must use exactly that fusion even when
+    spec.fusion_weights=(0.8, 1.5) is set for the train loss."""
     import jax
     import predict as predict_mod
 
@@ -87,7 +87,7 @@ def test_predict_weighted_fusion_matches_contract(tmp_path):
         which="best")
     got = {r[0]: r[-1] for r in rows}
 
-    # independent recomputation with the explicit weighted-sum formula
+    # independent recomputation with the explicit eval-mean formula
     mesh = make_mesh()
     spec, opt_kwargs = mimic.get_model_spec(args, n_train=len(data.train))
     assert spec.fusion_weights == (0.8, 1.5)
@@ -100,7 +100,7 @@ def test_predict_weighted_fusion_matches_contract(tmp_path):
         stack = np.asarray(out["logits_stack"], np.float32)
         valid = np.asarray(out["valid"]) > 0
         idx = np.asarray(jax.device_get(batch["idx"]))
-        fused = 0.8 * stack[:, 0] + 1.5 * stack[:, 1]
+        fused = (stack[:, 0] + stack[:, 1]) / 2
         shifted = fused - fused.max(-1, keepdims=True)
         logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
         for b in range(len(idx)):

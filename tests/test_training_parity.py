@@ -972,10 +972,12 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
                                              ours_epoch_losses)
 
 
-def _load_reference_mimic():
-    """Import the reference's mimic/joint_model.py read-only (its FusionNet
-    is plain torch; the Lightning base it also defines needs only a stubbed
-    pytorch_lightning.LightningModule at import time)."""
+def _load_reference_mimic(module: str = "joint_model"):
+    """Import a reference mimic/*.py model file read-only (its FusionNet
+    is plain torch; the Lightning base classes it also defines need only a
+    stubbed pytorch_lightning.LightningModule at import time)."""
+    import importlib
+
     sys.path.insert(0, REFERENCE)  # utils.BaseModel / existing_algos
     sys.path.insert(0, os.path.join(REFERENCE, "mimic"))
     sys.modules.setdefault("pytorch_lightning",
@@ -984,14 +986,14 @@ def _load_reference_mimic():
     # ``class JointLogitsBaseModel(pl.LightningModule, ABC)``)
     sys.modules["pytorch_lightning"].LightningModule = type(
         "LightningModule", (), {})
-    sys.modules.pop("joint_model", None)  # evict another dir's module
+    sys.modules.pop(module, None)  # evict another dir's module
     try:
-        import joint_model as ref_mimic  # type: ignore
+        ref = importlib.import_module(module)
     finally:
-        sys.modules.pop("joint_model", None)
+        sys.modules.pop(module, None)
         sys.path.pop(0)
         sys.path.pop(0)
-    return ref_mimic
+    return ref
 
 
 def _torch_test_epoch(net, x1, x2, y, batch):
@@ -1139,4 +1141,137 @@ def test_mimic_multiseed_convergence_parity(tmp_path):
         o_mean = float(np.mean([r[k] for r in ours_runs]))
         assert abs(t_mean - o_mean) < 0.015, (k, t_mean, o_mean)
     # the planted signal is learned (the comparison is not 1/6-vs-1/6)
+    assert all(r["test_avg_acc"] > 0.4 for r in torch_runs), torch_runs
+
+
+def test_mimic_ensemble_multiseed_convergence_parity(tmp_path):
+    """Ensemble twin of the jlogits multi-seed end-point parity — the other
+    published target (mimic/mimic_ensemble.csv, 50-seed mean 0.7614).  The
+    torch loop steps the reference's OWN ensemble FusionNet with the
+    reference's semantics: TRAIN loss 0.8*x1_loss + 1.5*x2_loss
+    (mimic/ensemble_model.py:157,160), but val/test fuse the PLAIN mean
+    (x1+x2)/2 with per-batch-mean x1/x2 accuracies and loss
+    (x1_loss+x2_loss)/2 (ensemble_model.py:234-239) — pinning that our
+    fusion_weights stay train-only at eval."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+    from multimodal_clinical_tpu.engine.metrics import eval_epoch_summary
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import (make_eval_step,
+                                                      make_train_step)
+    from multimodal_clinical_tpu.models import torch_port
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    ref_ens = _load_reference_mimic("ensemble_model")
+    num_classes, batch, epochs, lr = 6, 32, 4, 0.1  # mimic.yaml protocol
+    w1, w2 = 0.8, 1.5  # mimic/ensemble_model.py:127-128
+    seeds = [0, 1, 2]
+    torch_runs, ours_runs = [], []
+
+    for seed in seeds:
+        train = make_synthetic_dataset("mimic", 512, num_classes,
+                                       seed=seed, dirs_seed=seed)
+        test = make_synthetic_dataset("mimic", 256, num_classes,
+                                      seed=seed + 100, dirs_seed=seed)
+
+        # ---- reference torch loop (the reference's own FusionNet) ----
+        torch.manual_seed(seed)
+        net = ref_ens.FusionNet(
+            mlp_input_dim=5, gru_input_features=12, gru_hidden_dim=32,
+            num_layers_gru=1, num_classes=num_classes,
+            loss_fn=torch.nn.CrossEntropyLoss())
+        opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
+                              weight_decay=1e-4)
+        tx1 = torch.tensor(train.modalities[0])
+        tx2 = torch.tensor(train.modalities[1])
+        ty = torch.tensor(train.labels.astype(np.int64))
+        net.train()
+        for _ in range(epochs):
+            for s in range(0, len(ty), batch):  # sequential order
+                sl = slice(s, s + batch)
+                opt.zero_grad()
+                _, _, x1_loss, x2_loss = net(tx1[sl], tx2[sl], ty[sl])
+                (w1 * x1_loss + w2 * x2_loss).backward()
+                opt.step()
+        # reference test protocol: per-batch means, plain-mean fusion
+        net.eval()
+        ex1 = torch.tensor(test.modalities[0])
+        ex2 = torch.tensor(test.modalities[1])
+        ey = torch.tensor(test.labels.astype(np.int64))
+        losses, accs, x1_accs, x2_accs = [], [], [], []
+        with torch.no_grad():
+            for s in range(0, len(ey), batch):
+                sl = slice(s, s + batch)
+                l1, l2, x1_loss, x2_loss = net(ex1[sl], ex2[sl], ey[sl])
+                losses.append(float((x1_loss + x2_loss) / 2))
+                avg = (l1 + l2) / 2
+                accs.append(float((avg.argmax(1) == ey[sl]).float().mean()))
+                x1_accs.append(float((l1.argmax(1) == ey[sl]).float().mean()))
+                x2_accs.append(float((l2.argmax(1) == ey[sl]).float().mean()))
+        torch_runs.append({
+            "test_avg_loss": float(np.mean(losses)),
+            "test_avg_acc": float(np.mean(accs)),
+            "test_avg_x1_acc": float(np.mean(x1_accs)),
+            "test_avg_x2_acc": float(np.mean(x2_accs)),
+        })
+
+        # ---- our engine from the SAME initial weights ----
+        args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                               learning_rate=lr, num_epochs=epochs,
+                               use_scheduler=False, seed=seed)
+        spec = ModelSpec(module=MimicFusionNet(num_classes=num_classes),
+                         contract="ensemble", fusion_weights=(w1, w2))
+        sample = [jnp.asarray(train.modalities[0][:2]),
+                  jnp.asarray(train.modalities[1][:2])]
+        state = create_train_state(spec, args, jax.random.PRNGKey(seed),
+                                   sample, steps_per_epoch=16, momentum=0.9,
+                                   weight_decay=1e-4)
+        torch.manual_seed(seed)
+        sd = ref_ens.FusionNet(
+            mlp_input_dim=5, gru_input_features=12, gru_hidden_dim=32,
+            num_layers_gru=1, num_classes=num_classes,
+            loss_fn=torch.nn.CrossEntropyLoss()).state_dict()
+
+        def lin(name):
+            return torch_port.port_torch_linear(sd[name + ".weight"],
+                                                sd[name + ".bias"])
+
+        params = dict(state.params)
+        params["x1_model"] = {
+            f"TorchDense_{i}": lin(f"mlp.fc{i + 1}") for i in range(4)}
+        params["x2_model"] = {
+            "GRUCell_0": torch_port.port_gru_cell(sd, prefix="gru.gru."),
+            "TorchDense_0": lin("gru.fc1"),
+            "TorchDense_1": lin("gru.fc2"),
+            "TorchDense_2": lin("gru.fc3"),
+        }
+        state = state.replace(params=params)
+
+        step = make_train_step(spec)
+        loader = Loader(train, batch, SequentialSampler(len(train)))
+        for _ in range(epochs):
+            for b in loader:
+                state, _ = step(state, b)
+        eval_step = make_eval_step(spec)
+        outputs = [eval_step(state, b)
+                   for b in Loader(test, batch, SequentialSampler(len(test)))]
+        summary = eval_epoch_summary(outputs, "test")
+        ours_runs.append({k[len("test_epoch/"):]: v
+                          for k, v in summary.items()})
+
+    keys = ["test_avg_acc", "test_avg_x1_acc", "test_avg_x2_acc"]
+    for t_run, o_run in zip(torch_runs, ours_runs):
+        assert abs(t_run["test_avg_loss"] - o_run["test_avg_loss"]) < 1e-2, (
+            t_run, o_run)
+        for k in keys:
+            assert abs(t_run[k] - o_run[k]) < 0.02, (k, t_run, o_run)
+    for k in keys:
+        t_mean = float(np.mean([r[k] for r in torch_runs]))
+        o_mean = float(np.mean([r[k] for r in ours_runs]))
+        assert abs(t_mean - o_mean) < 0.015, (k, t_mean, o_mean)
     assert all(r["test_avg_acc"] > 0.4 for r in torch_runs), torch_runs

@@ -20,8 +20,9 @@ Loading (no framework needed beyond jax):
     out = serve(x1, x2)   # {"logprobs", "pred", "logits_stack"}
 
 Serving numerics == eval numerics: the exported function is the same
-fusion used by validation (jprobas fuses mean probability, ensemble fuses
-weighted logits, everything else mean logits — utils/BaseModel.py:59-112
+fusion used by validation (jprobas fuses mean probability, everything else
+— incl. ensemble; the mimic w1/w2 weighting is train-only — the plain
+logits mean; utils/BaseModel.py + mimic/ensemble_model.py:234-239
 semantics preserved via engine/contracts.py).
 """
 
@@ -54,7 +55,6 @@ def build_serving_fn(spec, state, input_keys):
 
     prob_fusion = (spec.contract == "jprobas"
                    and (spec.eval_fusion or "probas") == "probas")
-    weights = spec.fusion_weights
 
     def serve(*inputs):
         batch = dict(zip(input_keys, inputs))
@@ -76,7 +76,9 @@ def build_serving_fn(spec, state, input_keys):
             fused = C.fuse_probas(logits)
             logp = jax.nn.log_softmax(fused)
         else:
-            fused = C.fuse_logits(logits, weights)
+            # plain logits mean — the mimic w1/w2 weighting is train-only
+            # (mimic/ensemble_model.py:234-239 test step fuses (x1+x2)/2)
+            fused = C.fuse_logits(logits)
             logp = jax.nn.log_softmax(fused.astype(jnp.float32))
         return {
             "logprobs": logp,

@@ -77,20 +77,15 @@ def predict(args, benchmark, split: str, ckpt_dir: str, which: str):
 
     # contract-faithful eval fusion over the reported stack:
     #   jprobas reports LOG-PROBS and fuses mean PROBABILITY;
-    #   ensemble fuses (optionally weighted) mean logits;
-    #   jlogits/ogm_ge/qmf fuse mean logits.
+    #   everything else (incl. ensemble) fuses the plain logits mean —
+    #   mimic's w1/w2 weighting is TRAIN-only; its test step fuses
+    #   (x1+x2)/2 (mimic/ensemble_model.py:234-239).
     prob_fusion = (spec.contract == "jprobas"
                    and (spec.eval_fusion or "probas") == "probas")
-    weights = np.asarray(spec.fusion_weights, np.float32) \
-        if getattr(spec, "fusion_weights", None) is not None else None
 
     def fuse(stack):
         if prob_fusion:
             return np.exp(stack).mean(axis=1)        # mean probability
-        if weights is not None:
-            # weighted SUM, matching contracts.fuse_logits (w1*l1 + w2*l2,
-            # mimic/ensemble_model.py:127-128) — not a weighted mean
-            return (stack * weights[None, :, None]).sum(axis=1)
         return stack.mean(axis=1)
 
     rows = []
