@@ -309,11 +309,15 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
             fused = C.fuse_logits(logits)
             ce = [C.cross_entropy(l, label, valid) * spec.unimodal_loss_scale
                   for l in logits]
-            loss = sum(ce) / len(ce)
             if spec.vicreg_weight:
-                loss = loss + spec.vicreg_weight * vicreg_loss(
+                # the vicreg variant's overridden val/test steps eval the
+                # SUM of the unimodal losses, not the base-class mean
+                # (enrico/ensemble_model_vicreg.py:211, 270)
+                loss = sum(ce) + spec.vicreg_weight * vicreg_loss(
                     out["embeddings"][0], out["embeddings"][1], valid
                 )
+            else:
+                loss = sum(ce) / len(ce)
         else:
             report = logits
             fused = C.fuse_logits(logits)

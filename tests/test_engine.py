@@ -203,3 +203,77 @@ def test_padding_mask_correctness(tmp_path):
     want_x1 = float(np.mean(np.argmax(l1, -1) == batch["label"]))
     assert abs(summary["test_epoch/test_avg_x1_acc_uncal"] - want_x1) < 1e-6
     assert abs(got_uncal_joint - want) < 0.11  # step-weighted vs exact
+
+
+def test_ensemble_eval_loss_semantics():
+    """Eval-loss parity pins for the ensemble contract's three flavors:
+    plain = MEAN of unimodal CEs (BaseModel.py:412); vicreg = SUM + 0.1 *
+    vicreg (the overridden val/test steps, enrico/ensemble_model_vicreg.py:
+    211,270); fusion_weights never touch eval (mimic's w1/w2 are
+    train-only, mimic/ensemble_model.py:197-199/234-239) and the fused
+    logits are always the plain mean."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from multimodal_clinical_tpu.algos.vicreg import vicreg_loss
+    from multimodal_clinical_tpu.engine import contracts as C
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_eval_step
+
+    class TinyEns(nn.Module):
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x1, x2, train=True):
+            e1 = nn.Dense(8, name="x1_model")(x1)
+            e2 = nn.Dense(8, name="x2_model")(x2)
+            l1 = nn.Dense(self.num_classes, name="classifier_x1")(e1)
+            l2 = nn.Dense(self.num_classes, name="classifier_x2")(e2)
+            return {"logits": [l1, l2], "embeddings": [e1, e2]}
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x1": jnp.asarray(rng.normal(size=(16, 5)).astype(np.float32)),
+        "x2": jnp.asarray(rng.normal(size=(16, 7)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 4, 16).astype(np.int32)),
+        "valid": jnp.ones((16,), jnp.float32),
+    }
+    args = make_args()
+
+    def eval_out(**spec_kw):
+        spec = ModelSpec(module=TinyEns(), contract="ensemble", **spec_kw)
+        state = create_train_state(
+            spec, args, jax.random.PRNGKey(0), [batch["x1"][:2],
+                                                batch["x2"][:2]],
+            steps_per_epoch=4, momentum=0.9, weight_decay=1e-4)
+        out = make_eval_step(spec)(state, batch)
+        fwd = spec.module.apply(
+            {"params": state.params}, batch["x1"], batch["x2"], train=False)
+        return out, fwd
+
+    def ce(l):
+        return float(C.cross_entropy(l, batch["label"], batch["valid"]))
+
+    # plain ensemble: eval loss is the MEAN of the unimodal CEs
+    out, fwd = eval_out()
+    l1, l2 = fwd["logits"]
+    np.testing.assert_allclose(float(out["loss"]), (ce(l1) + ce(l2)) / 2,
+                               rtol=1e-5)
+
+    # vicreg variant: eval loss is the SUM + 0.1 * vicreg
+    out, fwd = eval_out(vicreg_weight=0.1)
+    l1, l2 = fwd["logits"]
+    e1, e2 = fwd["embeddings"]
+    want = ce(l1) + ce(l2) + 0.1 * float(vicreg_loss(e1, e2))
+    np.testing.assert_allclose(float(out["loss"]), want, rtol=1e-5)
+
+    # fusion_weights are train-only: eval loss/logits identical to plain
+    out_w, fwd = eval_out(fusion_weights=(0.8, 1.5))
+    l1, l2 = fwd["logits"]
+    np.testing.assert_allclose(float(out_w["loss"]), (ce(l1) + ce(l2)) / 2,
+                               rtol=1e-5)
+    fused_mean = np.asarray((l1 + l2) / 2)
+    acc_mean = float(np.mean(fused_mean.argmax(-1)
+                             == np.asarray(batch["label"])))
+    np.testing.assert_allclose(float(out_w["acc"]), acc_mean, rtol=1e-6)
