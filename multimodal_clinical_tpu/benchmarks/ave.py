@@ -276,7 +276,10 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     module = CremadFusionNet(num_classes=int(args.num_classes),
                              dtype=resolve_dtype(args))
     common = dict(sched_step_size=10, sched_gamma=0.5,
-                  device_preprocess=device_preprocess)
+                  device_preprocess=device_preprocess,
+                  # legacy runner: no ModelCheckpoint, test on final-epoch
+                  # weights (ave/run_training.py:106-131)
+                  test_restore_best=False)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)
     elif model_type == "jprobas":

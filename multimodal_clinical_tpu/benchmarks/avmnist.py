@@ -91,6 +91,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         # legacy dir trains on the MEAN of the per-modality losses
         # (avmnist/ensemble_model.py:195, ensemble_model_probas.py:205)
         ensemble_train_mean=True,
+        # legacy runner has no ModelCheckpoint: test runs on the
+        # final-epoch weights (avmnist/run_training.py:109-128)
+        test_restore_best=False,
     )
     # legacy plain SGD (avmnist/joint_model.py:340-342)
     opt_kwargs = {"momentum": 0.0, "weight_decay": 0.0}

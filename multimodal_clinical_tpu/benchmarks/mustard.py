@@ -90,10 +90,13 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
     module = MustardFusionNet(num_classes=int(args.num_classes),
                               dtype=resolve_dtype(args))
+    # legacy runner: no ModelCheckpoint, test on final-epoch weights
+    # (mustard/run_training.py:100-135)
+    common = dict(num_modality=3, test_restore_best=False)
     if model_type == "jlogits":
-        spec = ModelSpec(module=module, contract="jlogits", num_modality=3)
+        spec = ModelSpec(module=module, contract="jlogits", **common)
     elif model_type == "ensemble":
-        spec = ModelSpec(module=module, contract="ensemble", num_modality=3)
+        spec = ModelSpec(module=module, contract="ensemble", **common)
     else:
         raise NotImplementedError(f"mustard model_type {model_type!r}")
     # legacy plain SGD (mustard runner, self-contained module)

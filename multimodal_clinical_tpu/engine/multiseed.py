@@ -123,6 +123,45 @@ def multiseed_eval_summary(outputs: List[Dict], num_seeds: int, prefix: str
     return summary
 
 
+class BestValTracker:
+    """Per-seed best-val weight snapshots for the vmapped sweep.
+
+    Mirrors the reference's per-run ModelCheckpoint(top-1 val_avg_acc,
+    max) + reload-best-then-test flow (utils/run_trainer.py:27-33,65) on
+    the stacked (S, ...) state: after each val epoch, seeds whose val
+    accuracy strictly improved (ties keep the earlier epoch, like
+    checkpoint.py's strictly-greater best) snapshot their param /
+    batch-stat slices via a masked ``jnp.where`` over the leading seed
+    dim."""
+
+    def __init__(self, n_seeds: int):
+        self.n_seeds = n_seeds
+        self.acc: Optional[np.ndarray] = None
+        self.params = None
+        self.stats = None
+
+    def update(self, val_accs: np.ndarray, params, stats) -> np.ndarray:
+        if self.acc is None:
+            improved = np.ones(self.n_seeds, bool)
+            self.acc = np.asarray(val_accs, np.float32).copy()
+        else:
+            improved = np.asarray(val_accs) > self.acc
+            self.acc = np.where(improved, val_accs, self.acc)
+        if improved.any():
+            if self.params is None:
+                self.params, self.stats = params, stats
+            else:
+                mask = jnp.asarray(improved)
+
+                def pick(new, old):
+                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                self.params = jax.tree.map(pick, params, self.params)
+                self.stats = jax.tree.map(pick, stats, self.stats)
+        return improved
+
+
 def run_multiseed(args, benchmark_module, seeds: List[int]
                   ) -> Dict[str, float]:
     """Train S seeds simultaneously; returns the cross-seed test summary."""
@@ -187,6 +226,12 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
         outputs = [eval_step(state, batch) for batch in loader]
         return multiseed_eval_summary(outputs, len(seeds), prefix)
 
+    # per-seed best-val weight tracking — the reference's new-style sweep
+    # reloads each run's top-1 val_avg_acc checkpoint before test
+    # (utils/run_trainer.py:27-33,65); legacy dirs test final weights
+    # (spec.test_restore_best=False, avmnist/run_training.py:109-128)
+    tracker = BestValTracker(len(seeds)) if spec.test_restore_best else None
+
     last_val = {}
     for epoch in range(int(args.num_epochs)):
         train_loader.set_epoch(epoch)
@@ -199,11 +244,22 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
         # cross-seed & cross-step means (summary() flattens the S axis)
         train_summary = train_epoch_summary(acc)
         last_val = eval_epoch(val_loader, "val")
+        if tracker is not None:
+            tracker.update(
+                np.array([last_val[f"val_epoch/val_avg_acc_seed{s}"]
+                          for s in range(len(seeds))], np.float32),
+                state.params, state.batch_stats)
         print(f"[multiseed epoch {epoch}] "
               f"train_avg_loss="
               f"{train_summary.get('train_epoch/train_avg_loss', 0):.4f}  "
               f"val_avg_acc={last_val.get('val_epoch/val_avg_acc', 0):.4f}"
               f" ± {last_val.get('val_epoch/val_avg_acc_std', 0):.4f}")
+    if tracker is not None and tracker.params is not None:
+        # weights-only restore: QMF history tables keep their final-epoch
+        # values, exactly like the reference's state_dict reload (History
+        # lives outside the checkpoint, existing_algos/QMF.py:12-29)
+        state = state.replace(params=tracker.params,
+                              batch_stats=tracker.stats)
     summary = eval_epoch(test_loader, "test")
     _write_seed_csv(args, seeds, summary)
     return summary

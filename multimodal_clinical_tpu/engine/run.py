@@ -182,4 +182,7 @@ def run_benchmark(args, benchmark_module, profile_dir: Optional[str] = None
     if getattr(args, "resume", False):
         trainer.resume()
     trainer.fit()
-    return trainer.test()
+    # legacy standalone runners test the final-epoch weights (no
+    # ModelCheckpoint — avmnist/run_training.py:109-128); new-style dirs
+    # reload the best-val checkpoint first (utils/run_trainer.py:65)
+    return trainer.test(restore_best=spec.test_restore_best)

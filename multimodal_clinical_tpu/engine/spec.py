@@ -58,6 +58,12 @@ class ModelSpec:
     # cremad/ensemble_model_noised.py:104) where the new-style
     # EnsembleBaseModel trains on the SUM (utils/BaseModel.py:353).
     ensemble_train_mean: bool = False
+    # new-style dirs reload the top-1 val_avg_acc checkpoint before the
+    # test epoch (utils/run_trainer.py:27-33,65); the legacy standalone
+    # runners have NO ModelCheckpoint and test the FINAL-epoch weights
+    # (avmnist/run_training.py:109-128; same shape in ave/vggsound/
+    # mustard run_training.py).
+    test_restore_best: bool = True
 
     # --- OGM-GE (ogm_ge contract, or ensemble_ogm_ge hybrid) ---
     grad_mod_type: Optional[str] = None   # None|'OGM_GE'|'OGM'|'noise'

@@ -536,3 +536,73 @@ def test_multiseed_refuses_pp_and_sp():
     args = make_args(sequence_sharding=True)
     with pytest.raises(NotImplementedError, match="mesh-less"):
         run_multiseed(args, food101, seeds=[0, 1])
+
+
+def test_legacy_dirs_test_final_weights(tmp_path):
+    """The legacy standalone runners have NO ModelCheckpoint: trainer.test
+    runs on the FINAL-epoch weights (avmnist/run_training.py:109-128; same
+    shape in ave/vggsound/mustard), while new-style dirs reload the best
+    val_avg_acc checkpoint (utils/run_trainer.py:27-33,65).  Pins both the
+    per-benchmark spec wiring and the Trainer mechanism."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.benchmarks import (ave, cremad, food101,
+                                                    mimic, mustard, vggsound)
+
+    # spec wiring: legacy dirs final-weights, new-style dirs reload-best
+    legacy = [(avmnist, {}), (ave, {"num_classes": 4}),
+              (vggsound, {"num_classes": 4}), (mustard, {"num_classes": 2})]
+    for mod, kw in legacy:
+        spec, _ = mod.get_model_spec(make_args(**kw), n_train=32)
+        assert spec.test_restore_best is False, mod.__name__
+    for mod in (cremad, mimic, enrico):
+        spec, _ = mod.get_model_spec(make_args(), n_train=32)
+        assert spec.test_restore_best is True, mod.__name__
+    spec, _ = food101.get_model_spec(make_args(model_type="qmf"), n_train=32)
+    assert spec.test_restore_best is True
+
+    # mechanism: after fit, zero the live weights; restore_best=False must
+    # test the zeroed (final) weights, restore_best=True the checkpoint
+    args = make_args(num_epochs=1, ckpt_dir=str(tmp_path))
+    trainer, _ = build_trainer(avmnist, args)
+    trainer.fit()
+    trainer.state = trainer.state.replace(
+        params=jax.tree.map(jnp.zeros_like, trainer.state.params))
+    final = trainer.test(restore_best=False)
+    # zeroed weights -> identical logits for every class -> argmax 0
+    assert final["test_epoch/test_avg_acc"] <= 0.5
+    restored = trainer.test(restore_best=True)
+    assert restored["test_epoch/test_avg_acc"] != final[
+        "test_epoch/test_avg_acc"]
+
+
+def test_multiseed_best_val_tracker():
+    """BestValTracker snapshots exactly the improving seeds' slices and
+    keeps the earlier epoch on ties (checkpoint.py's strictly-greater
+    best, mirroring ModelCheckpoint max mode)."""
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.engine.multiseed import BestValTracker
+
+    def state_like(scale):
+        p = {"w": jnp.arange(6, dtype=jnp.float32).reshape(3, 2) * scale}
+        s = {"bn": jnp.ones((3, 4), jnp.float32) * scale}
+        return p, s
+
+    tr = BestValTracker(3)
+    p1, s1 = state_like(1.0)
+    improved = tr.update(np.array([0.5, 0.6, 0.7], np.float32), p1, s1)
+    assert improved.all()
+
+    # seed 1 improves, seed 0 degrades, seed 2 TIES (keeps epoch-1 weights)
+    p2, s2 = state_like(2.0)
+    improved = tr.update(np.array([0.4, 0.9, 0.7], np.float32), p2, s2)
+    assert improved.tolist() == [False, True, False]
+    np.testing.assert_allclose(tr.acc, [0.5, 0.9, 0.7])
+    want_w = np.stack([np.asarray(p1["w"][0]), np.asarray(p2["w"][1]),
+                       np.asarray(p1["w"][2])])
+    np.testing.assert_allclose(np.asarray(tr.params["w"]), want_w)
+    want_bn = np.stack([np.asarray(s1["bn"][0]), np.asarray(s2["bn"][1]),
+                        np.asarray(s1["bn"][2])])
+    np.testing.assert_allclose(np.asarray(tr.stats["bn"]), want_bn)
