@@ -8,8 +8,11 @@ with class ids in FIRST-APPEARANCE order over testSet.txt
 stage cuts each clip to its ``Annotations.txt`` start/end window
 (ave/video_preprocessing.py:216-279).  6 frames per clip
 (ave/get_data.py:135); SpecAugment active at train with reduced params
-(ave/get_data.py:148-155); balanced samplers on train, val AND test
-(ave/run_training.py:62-92).  Legacy scheduler: StepLR(10, 0.5)
+(ave/get_data.py:148-155); balanced samplers on train and val — the
+runner BUILDS a test sampler too but never passes it to the test
+DataLoader, so test iteration is sequential (ave/run_training.py:84-92,
+the same built-but-unused quirk as mimic's train sampler).  Legacy
+scheduler: StepLR(10, 0.5)
 (ave/joint_model.py:250-258).
 
 Zero-offline-stage fallback (like cremad/vggsound): a raw AVE download is
@@ -239,10 +242,11 @@ def get_data(args) -> DataBundle:
             n_train=64, n_val=32, n_test=32,
         )
         synthetic = True
-    # balanced samplers incl. test (ave/run_training.py:62-92)
+    # balanced samplers on train and val; the test sampler is BUILT but
+    # never passed to the test DataLoader (ave/run_training.py:84-92), so
+    # test iteration is sequential
     return DataBundle(train, val, test, train_sampler="weighted",
-                      val_sampler="weighted", test_sampler="weighted",
-                      synthetic=synthetic)
+                      val_sampler="weighted", synthetic=synthetic)
 
 
 def device_preprocess(batch, rng, train: bool):

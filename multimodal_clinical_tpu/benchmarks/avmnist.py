@@ -66,7 +66,11 @@ def get_data(args) -> DataBundle:
             "avmnist", int(args.num_classes), int(getattr(args, "seed", 0))
         )
         synthetic = True
-    return DataBundle(train, val, test, train_sampler="random",
+    # the reference's train DataLoader passes neither a sampler nor
+    # shuffle=True (avmnist/run_training.py:73-79; torch defaults to
+    # shuffle=False), so training iterates the SAME sequential order
+    # every epoch — preserved
+    return DataBundle(train, val, test, train_sampler="sequential",
                       synthetic=synthetic)
 
 

@@ -139,7 +139,10 @@ def get_data(args) -> DataBundle:
             n_train=64, n_val=32, n_test=32,
         )
         synthetic = True
-    return DataBundle(train, val, test, train_sampler="random",
+    # the reference's train DataLoader passes neither a sampler nor
+    # shuffle=True (fakenews/run_training.py:63-70; torch defaults to
+    # shuffle=False) — sequential train order every epoch, preserved
+    return DataBundle(train, val, test, train_sampler="sequential",
                       synthetic=synthetic)
 
 

@@ -96,7 +96,11 @@ def get_data(args) -> DataBundle:
             n_train=128, n_val=32, n_test=32,
         )
         synthetic = True
-    return DataBundle(train, val, test, train_sampler="random",
+    # the reference's train DataLoader passes neither a sampler nor
+    # shuffle=True (food101/run_training.py:39-45; torch defaults to
+    # shuffle=False) — sequential train order (my_train_food.txt order)
+    # every epoch, preserved
+    return DataBundle(train, val, test, train_sampler="sequential",
                       synthetic=synthetic)
 
 
@@ -111,14 +115,17 @@ def _get_legacy_data(args, data_dir: str) -> DataBundle:
 
         train = Food101LegacyDiskDataset(data_dir, "train", args)
         val = Food101LegacyDiskDataset(data_dir, "test", args)
-        return DataBundle(train, val, val, train_sampler="weighted",
+        # the legacy variants run through the same sampler-less, shuffle-
+        # less runner (food101/run_training.py:39-45) — get_data_old.py's
+        # balanced_sampler is exercised only by its __main__ smoke block
+        return DataBundle(train, val, val, train_sampler="sequential",
                           synthetic=False)
     print(f"[food101] legacy texts_train.csv not found under {data_dir!r}; "
           "using synthetic twin")
     train, val, test = make_synthetic_splits(
         "food101_legacy", int(args.num_classes),
         int(getattr(args, "seed", 0)), n_train=128, n_val=32, n_test=32)
-    return DataBundle(train, val, test, train_sampler="weighted",
+    return DataBundle(train, val, test, train_sampler="sequential",
                       synthetic=True)
 
 

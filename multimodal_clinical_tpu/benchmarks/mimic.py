@@ -4,8 +4,10 @@
 Data (reference mimic/get_data.py:30-95): MultiBench ``im.pk`` pickle;
 inf/nan -> 0; z-score both modalities; task -1 builds the 6-class mortality
 label; shuffled 10%/10%/80% val/test/train split.  The reference builds a
-balanced train sampler but never passes it to the DataLoader
-(mimic/run_training.py:39-46) — preserved: train sampling is plain shuffled.
+balanced train sampler but never passes it to the DataLoader, and never
+sets shuffle=True either (mimic/run_training.py:39-46) — preserved: train
+iterates the dataset-construction random.shuffle order, identical every
+epoch (per-seed variation comes from that initial shuffle + init).
 
 Model variants (mimic/__init__.py factory):
   jlogits  — MLP(5->...C) + GRU(12->32) logit mean (joint_model.py)
@@ -89,8 +91,11 @@ def get_data(args) -> DataBundle:
             "mimic", int(args.num_classes), int(getattr(args, "seed", 0))
         )
         synthetic = True
-    # sampler intentionally NOT balanced (mimic/run_training.py:39-46 quirk)
-    return DataBundle(train, val, test, train_sampler="random",
+    # the balanced sampler is BUILT but never passed to the DataLoader,
+    # and shuffle is never set (mimic/run_training.py:39-46; torch
+    # defaults to shuffle=False): training iterates the post-construction
+    # random.shuffle order, the SAME order every epoch — preserved
+    return DataBundle(train, val, test, train_sampler="sequential",
                       synthetic=synthetic)
 
 

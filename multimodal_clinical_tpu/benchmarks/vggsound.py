@@ -375,8 +375,12 @@ def get_data(args) -> DataBundle:
             n_train=64, n_val=32, n_test=32,
         )
         synthetic = True
+    # balanced samplers on train AND val (vggsound/run_training.py:62-80;
+    # val aliases the test set, so the val stream is a weighted resample
+    # of it); the test sampler is BUILT but never passed to the test
+    # DataLoader (run_training.py:84-92) — test iteration is sequential
     return DataBundle(train, val, test, train_sampler="weighted",
-                      synthetic=synthetic)
+                      val_sampler="weighted", synthetic=synthetic)
 
 
 def device_preprocess(batch, rng, train: bool):

@@ -114,3 +114,37 @@ def test_food101_siglip_trains_one_step(tmp_path):
     args._synth_name = "food101"
     summary = run_tiny(food101, args, shapes=[(64,), (224, 224, 3)])
     assert "test_epoch/test_avg_acc" in summary
+
+
+def test_sampler_policy_matches_reference_loader_wiring():
+    """DataBundle sampler policy per benchmark == the reference runners'
+    ACTUAL DataLoader wiring.  'weighted' only where a sampler is PASSED
+    to the loader: cremad train+val (cremad/run_trainer.py:40-61), enrico
+    train (enrico/run_training.py:39-45), ave train+val
+    (ave/run_training.py:62-81), vggsound train+val
+    (vggsound/run_training.py:62-80).  Everywhere a loader gets neither a
+    sampler nor shuffle=True, iteration is sequential (torch defaults
+    shuffle=False): the avmnist/mustard/fakenews/food101/mimic TRAIN
+    loaders (mimic builds a balanced sampler it never passes,
+    mimic/run_training.py:39-46), and the ave/vggsound TEST loaders
+    (their test samplers are likewise built but never passed,
+    ave/run_training.py:84-92, vggsound/run_training.py:84-92)."""
+    from multimodal_clinical_tpu.benchmarks import (avmnist, cremad, enrico,
+                                                    fakenews, mimic)
+
+    expect = {
+        avmnist: ("sequential", "sequential", "sequential"),
+        mimic: ("sequential", "sequential", "sequential"),
+        mustard: ("sequential", "sequential", "sequential"),
+        fakenews: ("sequential", "sequential", "sequential"),
+        food101: ("sequential", "sequential", "sequential"),
+        cremad: ("weighted", "weighted", "sequential"),
+        enrico: ("weighted", "sequential", "sequential"),
+        ave: ("weighted", "weighted", "sequential"),
+        vggsound: ("weighted", "weighted", "sequential"),
+    }
+    for mod, policy in expect.items():
+        args = make_args()
+        data = mod.get_data(args)
+        got = (data.train_sampler, data.val_sampler, data.test_sampler)
+        assert got == policy, f"{mod.__name__}: {got} != {policy}"
