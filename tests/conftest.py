@@ -25,4 +25,16 @@ import jax  # noqa: E402  (env must be set before first backend init)
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the suite, in the HOST-FINGERPRINTED CPU dir
+# (.jax_cache_cpu-<fp>, self-purging on host/jaxlib marker mismatch) — never
+# the shared TPU .jax_cache: CPU AOT entries from another machine generation
+# load through a "could lead to SIGILL" cpu_aot_loader warning.  Enabling it
+# here (instead of relying on whatever tool a test imports) makes cache
+# resolution deterministic for the whole session.
+from multimodal_clinical_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+assert "cpu" in str(jax.config.jax_compilation_cache_dir), (
+    jax.config.jax_compilation_cache_dir)
+
 assert jax.device_count() >= 8, jax.devices()

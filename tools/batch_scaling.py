@@ -23,8 +23,6 @@ sys.path.insert(0, ".")
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def measure(batch: int, iters: int, warmup: int, remat):
     from multimodal_clinical_tpu.benchmarks.vggsound_fixture import (
@@ -45,6 +43,10 @@ def measure(batch: int, iters: int, warmup: int, remat):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="224,448,672,896")
     ap.add_argument("--iters", type=int, default=12)

@@ -37,8 +37,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 import numpy as np
 
 
@@ -189,6 +187,10 @@ def load_artifact(out_dir: str):
 
 
 def main(argv=None):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", required=True)
     ap.add_argument("--ckpt", default=None,

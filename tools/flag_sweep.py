@@ -20,8 +20,6 @@ import jax
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 # round 1 measured (10 iters, v5e): baseline 158.1ms; scoped_vmem 32768
 # -> 153.2, 65536 -> 152.2; experimental_fusion_cost_model REGRESSES
 # (167.0); others neutral.
@@ -60,6 +58,10 @@ def build():
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     step, state0, batch = build()
     jitted = jax.jit(step)  # no donation: state reused across variants
     lowered = jitted.lower(state0, batch)

@@ -23,8 +23,6 @@ import numpy as np
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 PEAK_TFLOPS = 197.0
 PEAK_GBPS = 819.0
 
@@ -69,6 +67,10 @@ def timeit(fn, args, iters):
 
 
 def main(iters):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     print(f"{'geom':9s} {'dir':5s} {'ms':>8s} {'TF/s':>7s} {'%MXU':>6s} "
           f"{'GB/s':>7s} {'%BW':>5s}")

@@ -29,8 +29,6 @@ import numpy as np
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 PEAK_TFLOPS = 197.0
 
 GEOMS = [
@@ -108,6 +106,10 @@ def dgrad_parity_s2(dy, w, h, wd):
 
 
 def main(iters):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     hdr = (f"{'geom':8s} {'kind':14s} {'ms':>8s} {'TF/s':>7s} {'%MXU':>6s}")
     print(hdr)

@@ -22,12 +22,14 @@ import numpy as np
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 K = 24
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     total = 896 * 56 * 56 * 64  # stage-1 visual element count (360 MB bf16)
 

@@ -27,8 +27,6 @@ from flax import linen as nn
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def timeit(fn, *args, iters=20):
     out = fn(*args)
@@ -44,6 +42,10 @@ def timeit(fn, *args, iters=20):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     total = 896 * 56 * 56 * 64  # stage-1 visual element count
 

@@ -24,8 +24,6 @@ from flax import linen as nn
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 from multimodal_clinical_tpu.ops.maxpool_pallas import max_pool_3x3_s2_pallas
 
 
@@ -67,6 +65,10 @@ def timeit(f, *args, iters=8):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)

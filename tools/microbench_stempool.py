@@ -25,8 +25,6 @@ from flax import linen as nn
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def run(shape, label):
     rng = np.random.default_rng(0)
@@ -59,6 +57,10 @@ def run(shape, label):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     print("== stem BN-apply+ReLU -> maxpool 3x3s2, fwd+bwd ==")
     run((896, 112, 112, 64), "visual")
     run((224, 65, 313, 64), "audio ")

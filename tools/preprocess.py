@@ -60,8 +60,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # first-touch-bound on lazy-memory VMs)
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache()
-
 TARGET_SR = 16000
 
 
@@ -789,6 +787,10 @@ def cmd_fix_missing(args):
 
 
 def main(argv=None):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -36,8 +36,6 @@ import jax.numpy as jnp
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 _ORIG_CONV = jax.lax.conv_general_dilated
 
 
@@ -99,6 +97,10 @@ def time_variant(variant: str, iters: int, batch: int = 224) -> float:
 
 
 def main() -> None:
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", default="baseline,none,g,dx,gdx,gdxdw")
     ap.add_argument("--iters", type=int, default=10)

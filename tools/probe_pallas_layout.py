@@ -37,8 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def _identity_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...]
@@ -83,6 +81,10 @@ def build(variant: str):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     for variant in ("A", "B", "C"):
         try:
             f, x, w = build(variant)

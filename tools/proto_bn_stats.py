@@ -42,8 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 
 def _stats_kernel(x_ref, sum_ref, sq_ref):
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -122,6 +120,10 @@ def timed(fn, args, iters=20):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     geoms = {
         # bench geometries: batch 224, 4 frames -> N=896 visual;
         # audio tower N=224, (65, 157) after stem

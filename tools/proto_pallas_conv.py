@@ -33,8 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 PEAK_TFLOPS = 197.0
 
 
@@ -132,6 +130,10 @@ def timeit(fn, args, iters):
 
 
 def main(check, iters):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     rng = np.random.default_rng(0)
     for name, b, h, wd, cin, cout, nb in GEOMS:
         while b % nb:

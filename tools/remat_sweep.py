@@ -21,8 +21,6 @@ import jax
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 VARIANTS = [None, "convs", "none"]
 
 
@@ -37,6 +35,10 @@ def build(remat):
 
 
 def main():
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     for remat in VARIANTS:
         tag = f"remat={remat}"
