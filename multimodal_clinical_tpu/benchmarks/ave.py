@@ -283,7 +283,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                   device_preprocess=device_preprocess,
                   # legacy runner: no ModelCheckpoint, test on final-epoch
                   # weights (ave/run_training.py:106-131)
-                  test_restore_best=False)
+                  test_restore_best=False,
+                  # flat epoch-end names (ave/joint_model.py:197-201)
+                  legacy_metric_aliases=True)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)
     elif model_type == "jprobas":

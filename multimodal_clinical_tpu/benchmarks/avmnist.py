@@ -98,6 +98,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         # legacy runner has no ModelCheckpoint: test runs on the
         # final-epoch weights (avmnist/run_training.py:109-128)
         test_restore_best=False,
+        # flat epoch-end metric names (val_loss / x1_val_acc /
+        # avg_test_acc — joint_model.py:265-268,312-316)
+        legacy_metric_aliases=True,
     )
     # legacy plain SGD (avmnist/joint_model.py:340-342)
     opt_kwargs = {"momentum": 0.0, "weight_decay": 0.0}

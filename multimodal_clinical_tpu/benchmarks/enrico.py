@@ -207,6 +207,10 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                          vicreg_weight=0.1,
                          sched_step_size=70, sched_gamma=0.5)
     else:
+        # NB: the reference ships enrico/joint_model_proba.py (which would
+        # train with bare Adam, joint_model_proba.py:282) but its factory
+        # has no jprobas branch (enrico/__init__.py) — the file is
+        # unreachable from the CLI, so no jprobas variant exists here either
         raise NotImplementedError(f"enrico model_type {model_type!r}")
     import dataclasses
 

@@ -157,12 +157,22 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     )
     num_modality = 3 if with_dialogue else 2
     base = model_type.replace("_dialogue", "")
+    # legacy standalone runner: no ModelCheckpoint — trainer.test(model)
+    # runs the FINAL-epoch weights (fakenews/run_training.py:103-127)
+    common = dict(num_modality=num_modality, test_restore_best=False,
+                  # flat test epoch-end names (fakenews/model.py:210-213);
+                  # NB the reference model has NO validation_step at all —
+                  # Lightning skips val despite run_training passing a val
+                  # loader; our val epoch (and its aliases) is additive
+                  legacy_metric_aliases=True)
     if base == "jlogits":
-        spec = ModelSpec(module=module, contract="jlogits",
-                         num_modality=num_modality)
+        spec = ModelSpec(module=module, contract="jlogits", **common)
     elif base == "ensemble":
-        spec = ModelSpec(module=module, contract="ensemble",
-                         num_modality=num_modality)
+        spec = ModelSpec(module=module, contract="ensemble", **common)
     else:
         raise NotImplementedError(f"fakenews model_type {model_type!r}")
-    return spec, {}
+    # bare Adam with the module-scope LEARNING_RATE=1e-4 constant — the
+    # model ignores args.lr entirely (fakenews/model.py:18,230), so the
+    # config's learning_rate never reaches the optimizer; torch defaults,
+    # no scheduler (use_scheduler: False in fakenews.yaml:33)
+    return spec, {"optimizer": "adam", "lr_override": 1.0e-4}

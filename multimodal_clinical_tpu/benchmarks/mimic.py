@@ -108,6 +108,10 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
         spec = ModelSpec(module=module, contract="jlogits")
     elif model_type == "jprobas":
         spec = ModelSpec(module=module, contract="jprobas")
+        # jprobas alone trains with bare Adam(args.lr) — torch defaults,
+        # no scheduler (mimic/joint_model_proba.py:314-316); every other
+        # mimic variant is SGD(0.9, 1e-4) (mimic/joint_model.py:257)
+        common = {"optimizer": "adam"}
     elif model_type == "ensemble":
         spec = ModelSpec(module=module, contract="ensemble",
                          fusion_weights=(0.8, 1.5))

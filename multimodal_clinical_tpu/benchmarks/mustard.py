@@ -95,12 +95,21 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                               dtype=resolve_dtype(args))
     # legacy runner: no ModelCheckpoint, test on final-epoch weights
     # (mustard/run_training.py:100-135)
-    common = dict(num_modality=3, test_restore_best=False)
+    common = dict(num_modality=3, test_restore_best=False,
+                  # flat epoch-end names incl. x3 (joint_model.py:197-201,
+                  # 264-268: val_loss / x{i}_val_acc / avg_test_*)
+                  legacy_metric_aliases=True)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)
     elif model_type == "ensemble":
         spec = ModelSpec(module=module, contract="ensemble", **common)
     else:
         raise NotImplementedError(f"mustard model_type {model_type!r}")
-    # legacy plain SGD (mustard runner, self-contained module)
-    return spec, {"momentum": 0.0, "weight_decay": 0.0}
+    # the mustard module trains with bare Adam(args.lr) — torch defaults,
+    # no scheduler (mustard/joint_model.py:275-277; use_scheduler is off in
+    # configs/mustard.yaml because the legacy runner never builds StepLR).
+    # jlogits is the only variant whose model file exists in the reference
+    # (run_training.py:41-48 also dispatches ensemble/jprobas but those
+    # imports would fail); the repo's ensemble extension keeps the same
+    # optimizer protocol as the directory's one real model.
+    return spec, {"optimizer": "adam"}

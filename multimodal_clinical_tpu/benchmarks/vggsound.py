@@ -217,7 +217,12 @@ class VGGSoundDiskDataset:
                     f"(failed/truncated wav or PCM track)")
             while len(wav) < SR * 10:
                 wav = np.tile(wav, 2)
-            start = rng.integers(0, SR * 5 + 1) if self.train else 0
+            # random 5 s crop in EVERY mode — the reference draws
+            # random.randint(0, rate*5) unconditionally (get_data.py:113),
+            # eval/test included, exactly like its random frame choice
+            # below; our draw is the stateless per-(seed, epoch, index)
+            # stream, so eval is reproducible run-to-run at equal seed
+            start = rng.integers(0, SR * 5 + 1)
             crop = np.clip(wav[start:start + SR * CROP_SEC], -1.0, 1.0)
             waves.append(crop)
 
@@ -422,7 +427,9 @@ def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
                   device_preprocess=device_preprocess,
                   # legacy runner: no ModelCheckpoint, test on final-epoch
                   # weights (vggsound/run_training.py:106-130)
-                  test_restore_best=False)
+                  test_restore_best=False,
+                  # flat epoch-end names (vggsound/ensemble_model.py:171-174)
+                  legacy_metric_aliases=True)
     if model_type == "jlogits":
         spec = ModelSpec(module=module, contract="jlogits", **common)
     elif model_type == "jprobas":

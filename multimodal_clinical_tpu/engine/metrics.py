@@ -76,6 +76,38 @@ def train_epoch_summary(acc: EpochAccumulator) -> Dict[str, float]:
     return out
 
 
+def legacy_alias_summary(summary: Dict[str, float], prefix: str
+                         ) -> Dict[str, float]:
+    """Flat epoch-end metric names of the LEGACY standalone dirs.
+
+    avmnist/ave/vggsound/mustard log ``val_loss``/``val_acc``/
+    ``x{i}_val_acc`` from on_validation_epoch_end (avmnist/joint_model.py:
+    265-268, mustard/joint_model.py:197-201) and ``test_loss``/
+    ``avg_test_loss``/``test_acc``/``avg_test_acc``/``x{i}_test_acc`` from
+    their test epoch hooks (the per-file spellings differ —
+    mustard/joint_model.py:264-268 uses avg_*, vggsound/ensemble_model.py:
+    229-232 plain test_* — so the union is emitted); fakenews's
+    test_epoch_end logs test_loss/test_acc (fakenews/model.py:210-213).
+    Emitted ALONGSIDE the namespaced keys, never instead of them."""
+    out: Dict[str, float] = {}
+    loss = summary.get(f"{prefix}_epoch/{prefix}_avg_loss")
+    acc = summary.get(f"{prefix}_epoch/{prefix}_avg_acc")
+    if loss is not None:
+        out[f"{prefix}_loss"] = loss
+        if prefix == "test":
+            out["avg_test_loss"] = loss
+    if acc is not None:
+        out[f"{prefix}_acc"] = acc
+        if prefix == "test":
+            out["avg_test_acc"] = acc
+    i = 1
+    while f"{prefix}_epoch/{prefix}_avg_x{i}_acc" in summary:
+        out[f"x{i}_{prefix}_acc"] = summary[
+            f"{prefix}_epoch/{prefix}_avg_x{i}_acc"]
+        i += 1
+    return out
+
+
 def eval_epoch_summary(
     outputs: List[Dict],
     prefix: str,

@@ -50,17 +50,28 @@ def create_multiseed_state(spec: ModelSpec, args, sample_inputs,
 class MultiSeedLoader:
     """Stacks S per-seed index streams into (S, B, ...) superbatches.
 
+    ``datasets`` is either ONE dataset shared by every seed or a list of S
+    per-seed datasets (the reference's 50-seed protocol re-seeds the global
+    RNG per run, so each run's get_data() draws a DIFFERENT construction
+    shuffle and split — mimic/get_data.py:86; run_multiseed builds per-seed
+    bundles to match).
+
     Reuses Loader's producer-thread prefetch so the next superbatch's
     gather + stack + H2D overlaps the current vmapped device step
     (superbatches are S× a normal batch — on the ~50 MB/s tunnel that
     overlap is the difference between compute- and transfer-bound)."""
 
-    def __init__(self, dataset, batch_size: int, samplers,
+    def __init__(self, datasets, batch_size: int, samplers,
                  prefetch: int = 2, workers: int = 1):
+        if not isinstance(datasets, (list, tuple)):
+            datasets = [datasets] * len(samplers)
+        if len(datasets) != len(samplers):
+            raise ValueError(f"{len(datasets)} datasets vs "
+                             f"{len(samplers)} samplers")
         self.loaders = [
             Loader(dataset, batch_size, sampler, mesh=None, prefetch=1,
                    workers=workers)
-            for sampler in samplers
+            for dataset, sampler in zip(datasets, samplers)
         ]
         self.prefetch = max(1, int(prefetch))
 
@@ -91,16 +102,19 @@ class MultiSeedLoader:
             self.prefetch)
 
 
-def make_multiseed_steps(spec: ModelSpec):
+def make_multiseed_steps(spec: ModelSpec, per_seed_eval_data: bool = False):
     """(train_step, eval_step) vmapped over the seed axis and jitted.
 
     train: state and batch both carry a leading S axis.
-    eval:  state carries S; the batch is shared (broadcast).
+    eval:  state carries S; the batch is shared (broadcast, in_axes=None)
+    unless ``per_seed_eval_data`` — per-seed splits stack to an (S, B, ...)
+    superbatch (in_axes=0), the reference's per-run val/test sets.
     """
     train_raw = make_train_step(spec, jit=False)
     eval_raw = make_eval_step(spec, jit=False)
     train_v = jax.jit(jax.vmap(train_raw), donate_argnums=0)
-    eval_v = jax.jit(jax.vmap(eval_raw, in_axes=(0, None)))
+    eval_v = jax.jit(
+        jax.vmap(eval_raw, in_axes=(0, 0 if per_seed_eval_data else None)))
     return train_v, eval_v
 
 
@@ -165,7 +179,6 @@ class BestValTracker:
 def run_multiseed(args, benchmark_module, seeds: List[int]
                   ) -> Dict[str, float]:
     """Train S seeds simultaneously; returns the cross-seed test summary."""
-    from ..data.sampler import SequentialSampler
     from .metrics import EpochAccumulator
     from .run import DataBundle, _make_sampler
 
@@ -194,7 +207,32 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
             "vmapped multi-seed sweep runs mesh-less seed replicas — run "
             "one seed per job for pipelined/sequence-sharded models")
 
-    data: DataBundle = benchmark_module.get_data(args)
+    # Per-seed data: the reference's 50-seed protocol runs seed_everything
+    # per process BEFORE get_data, so every run draws its own construction
+    # shuffle AND split (mimic/get_data.py:86; run_parallel.sh) — each seed
+    # here gets its own bundle.  Seed-independent adapters return identical
+    # bundles (only the samplers then differ); `multiseed_shared_data: true`
+    # opts out for corpora too large to materialize S times.
+    import copy
+
+    shared_data = bool(getattr(args, "multiseed_shared_data", False))
+    if shared_data:
+        bundles = [benchmark_module.get_data(args)] * len(seeds)
+    else:
+        bundles = []
+        for s in seeds:
+            a = copy.copy(args)
+            a.seed = int(s)
+            bundles.append(benchmark_module.get_data(a))
+        lens = {(len(b.train), len(b.val), len(b.test)) for b in bundles}
+        if len(lens) > 1:
+            # unequal splits can't stack into (S, B, ...) superbatches;
+            # refuse loudly instead of silently truncating eval data
+            raise NotImplementedError(
+                f"per-seed get_data() produced unequal split sizes {lens}; "
+                "run one seed per job, or set multiseed_shared_data: true")
+    data: DataBundle = bundles[0]
+    per_seed_eval = not shared_data
     spec, opt_kwargs = benchmark_module.get_model_spec(
         args, n_train=len(data.train))
     bs = int(args.batch_size)
@@ -210,17 +248,42 @@ def run_multiseed(args, benchmark_module, seeds: List[int]
 
     workers = resolve_loader_workers(args)
     train_loader = MultiSeedLoader(
-        data.train, bs,
-        [_make_sampler(data.train_sampler, data.train, int(s))
-         for s in seeds],
+        [b.train for b in bundles], bs,
+        [_make_sampler(b.train_sampler, b.train, int(s))
+         for s, b in zip(seeds, bundles)],
         workers=workers,
     )
-    val_loader = Loader(data.val, bs, SequentialSampler(len(data.val)),
-                        workers=workers)
-    test_loader = Loader(data.test, bs, SequentialSampler(len(data.test)),
-                         workers=workers)
+    if per_seed_eval:
+        # per-seed val/test supersets stack like the train superbatches;
+        # samplers honor the bundle's declared policy (vggsound/cremad/ave
+        # use WEIGHTED val loaders — run.py build_loaders parity) with the
+        # same +1/+2 seed offsets as the single-run path
+        val_loader = MultiSeedLoader(
+            [b.val for b in bundles], bs,
+            [_make_sampler(b.val_sampler, b.val, int(s) + 1)
+             for s, b in zip(seeds, bundles)],
+            workers=workers,
+        )
+        test_loader = MultiSeedLoader(
+            [b.test for b in bundles], bs,
+            [_make_sampler(b.test_sampler, b.test, int(s) + 2)
+             for s, b in zip(seeds, bundles)],
+            workers=workers,
+        )
+    else:
+        val_loader = Loader(
+            data.val, bs,
+            _make_sampler(data.val_sampler, data.val,
+                          int(getattr(args, "seed", 0)) + 1),
+            workers=workers)
+        test_loader = Loader(
+            data.test, bs,
+            _make_sampler(data.test_sampler, data.test,
+                          int(getattr(args, "seed", 0)) + 2),
+            workers=workers)
 
-    train_step, eval_step = make_multiseed_steps(spec)
+    train_step, eval_step = make_multiseed_steps(
+        spec, per_seed_eval_data=per_seed_eval)
 
     def eval_epoch(loader, prefix):
         outputs = [eval_step(state, batch) for batch in loader]

@@ -88,6 +88,12 @@ class ModelSpec:
     # (enrico/ensemble_model.py:37-38, food101/joint_model_proba.py).
     frozen_prefixes: Tuple[str, ...] = ()
 
+    # legacy standalone dirs log FLAT epoch-end metric names (val_loss /
+    # x{i}_val_acc / avg_test_acc ... — avmnist/joint_model.py:265-268)
+    # instead of the utils/BaseModel val_epoch/* namespace; when set, the
+    # trainer emits those aliases alongside the namespaced keys.
+    legacy_metric_aliases: bool = False
+
     # --- analysis streams ---
     # per-sample min-loss counters over {joint, x1, x2}
     # (enrico/joint_model_counts.py:116-135, ensemble_model_counts.py)

@@ -73,15 +73,37 @@ def _wd_mask_fn(frozen_prefixes):
 
 def make_optimizer(schedule: optax.Schedule, momentum: float = 0.9,
                    weight_decay: float = 1.0e-4,
-                   frozen_prefixes=()) -> optax.GradientTransformation:
-    """SGD(momentum, weight_decay) matching torch ordering: wd is added to the
-    gradient before the momentum buffer (torch.optim.SGD), i.e. AFTER any
-    OGM-GE modulation of the raw loss gradient.
+                   frozen_prefixes=(),
+                   optimizer: str = "sgd") -> optax.GradientTransformation:
+    """Per-variant optimizer matching the reference's configure_optimizers.
+
+    ``optimizer="sgd"``: SGD(momentum, weight_decay) with torch ordering —
+    wd is added to the gradient before the momentum buffer
+    (torch.optim.SGD), i.e. AFTER any OGM-GE modulation of the raw loss
+    gradient.
+
+    ``optimizer="adam"``: torch.optim.Adam defaults — betas (0.9, 0.999),
+    eps 1e-8 OUTSIDE the sqrt (optax ``eps_root=0``), weight_decay 0 —
+    the protocol of the four reference model files that train with Adam:
+    mustard/joint_model.py:276, mimic/joint_model_proba.py:315,
+    fakenews/model.py:230, enrico/joint_model_proba.py:282.  Every
+    reference Adam call passes only ``lr``, so torch defaults ARE the
+    spec; ``momentum``/``weight_decay`` args are ignored for adam (a
+    non-zero wd here would be a silent protocol divergence).
 
     ``frozen_prefixes`` (param-tree path prefixes, '/'-joined) exempt
-    frozen subtrees from weight decay — torch's SGD never touches
+    frozen subtrees from weight decay — torch optimizers never touch
     requires_grad=False params (p.grad is None), so wd on stop_gradient'd
-    towers would be a silent divergence (enrico/ensemble_model.py:37-38)."""
+    towers would be a silent divergence (enrico/ensemble_model.py:37-38).
+    Under adam, zero grads already yield exactly-zero updates
+    (mu=nu=0 -> 0/(sqrt(0)+eps)), so no mask is needed."""
+    if optimizer == "adam":
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if optimizer != "sgd":
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     parts = []
     if weight_decay:
         mask = _wd_mask_fn(tuple(frozen_prefixes)) if frozen_prefixes else None
@@ -100,8 +122,14 @@ def create_train_state(
     steps_per_epoch: int,
     momentum: float = 0.9,
     weight_decay: float = 1.0e-4,
+    optimizer: str = "sgd",
+    lr_override: Optional[float] = None,
 ) -> TrainState:
-    """Initialize params/state from a sample batch (list of modality arrays)."""
+    """Initialize params/state from a sample batch (list of modality arrays).
+
+    ``lr_override`` pins the learning rate regardless of the config's
+    ``learning_rate`` — the fakenews model hardcodes LEARNING_RATE=1e-4 at
+    module scope and ignores args.lr entirely (fakenews/model.py:18,230)."""
     init_rng, dropout_rng, state_rng = jax.random.split(rng, 3)
     variables = spec.module.init(
         {"params": init_rng, "dropout": dropout_rng},
@@ -111,8 +139,10 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    base_lr = (float(args.learning_rate) if lr_override is None
+               else float(lr_override))
     schedule = make_lr_schedule(
-        float(args.learning_rate),
+        base_lr,
         bool(getattr(args, "use_scheduler", False)),
         steps_per_epoch,
         spec.sched_step_size,
@@ -120,7 +150,8 @@ def create_train_state(
         int(getattr(args, "num_epochs", 1)),
     )
     tx = make_optimizer(schedule, momentum=momentum, weight_decay=weight_decay,
-                        frozen_prefixes=spec.frozen_prefixes)
+                        frozen_prefixes=spec.frozen_prefixes,
+                        optimizer=optimizer)
     opt_state = tx.init(params)
 
     num_classes = int(args.num_classes)

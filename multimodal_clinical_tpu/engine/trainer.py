@@ -136,7 +136,32 @@ class Trainer:
             outputs.append(self.eval_step(self.state, batch))
         if not outputs:
             return {}
-        return eval_epoch_summary(outputs, prefix)
+        if self.log_every:
+            # per-batch eval streams under the reference's step namespace:
+            # val_step/val_{acc,loss} (BaseModel.py:158-159), test_step/
+            # test_{acc,loss} (227-228), QMF's extra logits_df_acc
+            # (1033-1035, 1108-1110).  Logged after the loop from the
+            # already-collected outputs — no extra device syncs inside the
+            # eval pass; all rows carry the current global step (eval runs
+            # at a fixed train step, like Lightning's eval-time
+            # global_step).
+            base = int(self.state.step)
+            for o in outputs:
+                row = {
+                    f"{prefix}_step/{prefix}_acc": float(np.asarray(o["acc"])),
+                    f"{prefix}_step/{prefix}_loss":
+                        float(np.asarray(o["loss"])),
+                }
+                if "df_acc" in o:
+                    row[f"{prefix}_step/logits_df_acc"] = float(
+                        np.asarray(o["df_acc"]))
+                self.logger.log(row, step=base)
+        summary = eval_epoch_summary(outputs, prefix)
+        if self.spec.legacy_metric_aliases:
+            from .metrics import legacy_alias_summary
+
+            summary.update(legacy_alias_summary(summary, prefix))
+        return summary
 
     def resume(self) -> bool:
         """Restore the full train state from the rolling 'last' checkpoint

@@ -148,3 +148,104 @@ def test_sampler_policy_matches_reference_loader_wiring():
         data = mod.get_data(args)
         got = (data.train_sampler, data.val_sampler, data.test_sampler)
         assert got == policy, f"{mod.__name__}: {got} != {policy}"
+
+
+def test_optimizer_protocol_matches_reference_configure_optimizers():
+    """Every reachable variant's opt_kwargs == the reference model file's
+    configure_optimizers.  Three protocols exist in the reference:
+
+    * bare Adam(lr), torch defaults, no scheduler — mustard
+      (mustard/joint_model.py:276), mimic jprobas
+      (mimic/joint_model_proba.py:315), fakenews with the module-scope
+      LEARNING_RATE=1e-4 constant that ignores args.lr
+      (fakenews/model.py:18,230).  (enrico/joint_model_proba.py:282 also
+      uses Adam but is unreachable — no jprobas branch in
+      enrico/__init__.py.)
+    * plain SGD(lr) — no momentum, no wd, no scheduler — all five avmnist
+      model files (avmnist/joint_model.py:340-342 et al).
+    * SGD(lr, momentum=0.9, wd=1e-4) + StepLR — everything else
+      (utils/BaseModel.py:276-279 and the per-file overrides; the StepLR
+      step_size/gamma live on ModelSpec and are asserted here too).
+    """
+    from multimodal_clinical_tpu.benchmarks import (avmnist, cremad, enrico,
+                                                    fakenews, mimic)
+
+    def kwargs_of(mod, model_type, **extra):
+        args = make_args(model_type=model_type, **extra)
+        _, opt_kwargs = mod.get_model_spec(args, n_train=32)
+        return opt_kwargs
+
+    # bare Adam(lr)
+    assert kwargs_of(mustard, "jlogits", num_classes=2) == {
+        "optimizer": "adam"}
+    assert kwargs_of(mimic, "jprobas") == {"optimizer": "adam"}
+    assert kwargs_of(fakenews, "jlogits") == {
+        "optimizer": "adam", "lr_override": 1.0e-4}
+
+    # plain SGD(lr): avmnist, every variant
+    for mt in ("jlogits", "jprobas", "jprobas_jlogits", "ensemble",
+               "ensemble_probas"):
+        assert kwargs_of(avmnist, mt) == {"momentum": 0.0,
+                                          "weight_decay": 0.0}, mt
+
+    # SGD(0.9, 1e-4) + StepLR: the rest use create_train_state defaults
+    # (momentum=0.9, wd=1e-4 — utils/BaseModel.py:276) with per-file StepLR
+    for mod, mt, step, gamma in [
+        (mimic, "jlogits", 70, 0.1),     # mimic/joint_model.py:257-260
+        (mimic, "ensemble", 70, 0.1),    # mimic/ensemble_model.py:254-257
+        (mimic, "qmf", 70, 0.1),         # mimic/qmf_model.py:266-269
+        (cremad, "jlogits", 70, 0.1),    # utils/BaseModel.py:276-279
+        (enrico, "jlogits", 10, 0.5),    # enrico/joint_model.py:101-104
+        (enrico, "ensemble", 70, 0.5),   # enrico/ensemble_model.py:90-93
+        (ave, "jlogits", 10, 0.5),       # ave/joint_model.py:251-254
+        (vggsound, "jlogits", 30, 0.5),  # vggsound/joint_model.py:250-253
+        (food101, "jlogits", 50, 0.5),   # food101/joint_model.py:80-83
+    ]:
+        args = make_args(model_type=mt)
+        spec, opt_kwargs = mod.get_model_spec(args, n_train=32)
+        assert "optimizer" not in opt_kwargs and \
+            "momentum" not in opt_kwargs, (mod.__name__, mt, opt_kwargs)
+        assert (spec.sched_step_size, spec.sched_gamma) == (step, gamma), (
+            mod.__name__, mt, spec.sched_step_size, spec.sched_gamma)
+    # food101 jprobas variants carry their own StepLR(500, 0.75)
+    # (food101/joint_model_proba.py:266-269)
+    spec, _ = food101.get_model_spec(make_args(model_type="jprobas"),
+                                     n_train=32)
+    assert (spec.sched_step_size, spec.sched_gamma) == (500, 0.75)
+
+
+def test_adam_matches_torch_adam_stepwise():
+    """make_optimizer('adam') == torch.optim.Adam numerically: 5 steps on
+    identical params/grads, bit-level agreement to f32 tolerance.  Pins
+    eps OUTSIDE the sqrt (optax eps_root=0 vs eps) and the bias-correction
+    ordering against the actual torch implementation the reference calls
+    (mustard/joint_model.py:276)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import torch
+
+    from multimodal_clinical_tpu.engine.state import make_optimizer
+
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(7, 5)).astype(np.float32)
+    grads = [rng.normal(size=(7, 5)).astype(np.float32) for _ in range(5)]
+    lr = 3e-3
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=lr)
+    for g in grads:
+        topt.zero_grad()
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    tx = make_optimizer(optax.constant_schedule(lr), optimizer="adam")
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), rtol=1e-6, atol=1e-6)

@@ -90,3 +90,21 @@ def test_setup_configs_config_with_dir_applies_overlay(tmp_path):
     args2 = setup_configs(["--dir", "avmnist", "--config", str(cfg),
                            "--set", "batch_size=4"])
     assert args2.batch_size == 4
+
+
+def test_trainer_arg_quirks_match_reference_runners():
+    """Per-dir pl.Trainer kwargs the reference runners override:
+
+    * log_every_n_steps=10 on avmnist/mustard (avmnist/run_training.py:117,
+      mustard/run_training.py:120); every other runner passes 30
+      (utils/run_trainer.py:49 and the standalone runners).
+    * precision: mustard alone trains at full fp32 — precision="32"
+      (mustard/run_training.py:118) — while every other dir is
+      "bf16-mixed" (utils/run_trainer.py:47, avmnist/run_training.py:115).
+    """
+    for name in KNOWN_DATASETS:
+        args = load_config(name)
+        expect_log = 10 if name in ("avmnist", "mustard") else 30
+        assert args.log_every_n_steps == expect_log, name
+        expect_dtype = "float32" if name == "mustard" else "bfloat16"
+        assert args.compute_dtype == expect_dtype, name

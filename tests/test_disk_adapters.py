@@ -118,6 +118,45 @@ def test_vggsound_real_layout_init_and_train_step(tmp_path):
     assert np.isfinite(float(metrics["train_loss"]))
 
 
+def test_vggsound_eval_audio_crop_is_random_like_reference(tmp_path):
+    """The reference crops the 5 s audio window at random.randint(0, SR*5)
+    UNCONDITIONALLY — eval/test included (vggsound/get_data.py:113), just
+    like its random frame choice.  Our eval dataset must draw the same way
+    from the stateless per-(seed, epoch, index) stream: not pinned to
+    start=0, and reproducible at equal seed."""
+    from multimodal_clinical_tpu.benchmarks.vggsound import (
+        SR, VGGSoundDiskDataset)
+    from multimodal_clinical_tpu.data.core import sample_rng
+
+    d = tmp_path
+    os.makedirs(d / "audio")
+    # a 10 s integer ramp (scaled into [-1, 1)) so the crop start is
+    # recoverable from the first sample value
+    sr = SR
+    ramp = (np.arange(sr * 10) % 20000).astype(np.int16)
+    with wave.open(str(d / "audio" / "vidR_000000.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(ramp.tobytes())
+    _write_frames(str(d / "frames" / "vidR_000000"), 3)
+
+    def crop_start(seed):
+        ds = VGGSoundDiskDataset(str(d), [("vidR_000000", 0)], train=False,
+                                 use_video_frames=1, seed=seed)
+        wav = ds.gather(np.array([0]))["x1_waveform"][0]
+        # invert the int16 scaling to recover the ramp position
+        return int(round(float(wav[0]) * 32768.0))
+
+    starts = {crop_start(seed) for seed in range(4)}
+    assert starts != {0}, "eval crop pinned to start=0 (reference is random)"
+    # the draw is the documented stateless stream: reproducible per seed
+    for seed in (0, 3):
+        expected = int(sample_rng(seed, 0, 0).integers(0, SR * 5 + 1)) % 20000
+        assert crop_start(seed) == expected
+    assert crop_start(1) == crop_start(1)
+
+
 def test_enrico_real_layout_u8_init_and_step(tmp_path):
     """Real-layout enrico corpus: the eagerly-loaded dataset holds uint8
     (4x less RAM/H2D than float32), the noise transforms operate on it,

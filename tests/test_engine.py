@@ -126,6 +126,52 @@ def test_train_metrics_namespace(tmp_path):
         assert key in epoch_metrics, sorted(epoch_metrics)
 
 
+def test_eval_step_metric_streams(tmp_path):
+    """Per-batch eval streams under the reference names: val_step/val_acc +
+    val_step/val_loss (utils/BaseModel.py:158-159), test_step/test_acc +
+    test_step/test_loss (227-228), and QMF's val_step/logits_df_acc /
+    test_step/logits_df_acc (1033-1035, 1108-1110) — one row per eval
+    batch in metrics.jsonl."""
+    import json
+
+    def rows_of(run_dir):
+        with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+            return [json.loads(line) for line in f]
+
+    args = make_args(ckpt_dir=str(tmp_path / "jl"), num_epochs=1,
+                     log_every_n_steps=1)
+    mesh = make_mesh()
+    data = avmnist.get_data(args)
+    spec, opt_kwargs = avmnist.get_model_spec(args, n_train=len(data.train))
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    trainer = Trainer(args, spec, state, *build_loaders(args, data, mesh))
+    trainer.fit()
+    trainer.test(restore_best=False)
+    rows = rows_of(trainer.run_dir)
+    n_val_batches = len(trainer.val_loader)
+    n_test_batches = len(trainer.test_loader)
+    for key, expect in (("val_step/val_acc", n_val_batches),
+                        ("val_step/val_loss", n_val_batches),
+                        ("test_step/test_acc", n_test_batches),
+                        ("test_step/test_loss", n_test_batches)):
+        got = [r for r in rows if key in r]
+        assert len(got) == expect, (key, len(got), expect)
+        assert all(np.isfinite(r[key]) for r in got), key
+
+    # QMF adds the dynamic-fusion accuracy stream
+    args = make_args(ckpt_dir=str(tmp_path / "qmf"), num_epochs=1,
+                     model_type="qmf", num_classes=6, log_every_n_steps=1)
+    data = mimic.get_data(args)
+    spec, opt_kwargs = mimic.get_model_spec(args, n_train=len(data.train))
+    state = init_state_on_mesh(spec, args, data, mesh, opt_kwargs)
+    trainer = Trainer(args, spec, state, *build_loaders(args, data, mesh))
+    trainer.fit()
+    trainer.test(restore_best=False)
+    rows = rows_of(trainer.run_dir)
+    assert any("val_step/logits_df_acc" in r for r in rows)
+    assert any("test_step/logits_df_acc" in r for r in rows)
+
+
 def test_cremad_model_types_compile_one_step(tmp_path):
     """Tiny-shape compile+step check for all 10 cremad variants."""
     for model_type in cremad.MODEL_TYPES:

@@ -868,12 +868,16 @@ def test_qmf_trajectory_with_ported_init(tmp_path):
 
 
 def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
-    """3-modality jlogits trajectory parity: the reference's own MUsTARD
-    LstmClassifier towers (mustard/joint_model.py:9-43, imported read-only)
-    trained with logit-mean fusion (joint_model.py:59-83) vs our
-    MustardFusionNet under the jlogits contract, from the same ported init
-    and data order.  Pins the x3 engine path + the LSTM recurrence."""
-    num_classes, batch, epochs, lr = 2, 16, 2, 0.05
+    """3-modality jlogits trajectory parity UNDER ADAM: the reference's own
+    MUsTARD LstmClassifier towers (mustard/joint_model.py:9-43, imported
+    read-only) trained with logit-mean fusion (joint_model.py:59-83) and the
+    reference's actual optimizer — bare torch.optim.Adam(lr), torch
+    defaults, no scheduler (joint_model.py:275-277) — vs our MustardFusionNet
+    under the jlogits contract with opt ``optimizer="adam"``, from the same
+    ported init and data order.  Pins the x3 engine path, the LSTM
+    recurrence, AND the Adam protocol (betas (0.9, 0.999), eps outside the
+    sqrt) end to end."""
+    num_classes, batch, epochs, lr = 2, 16, 2, 1e-3
     n_train, seq = 128, 10
     from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
 
@@ -909,8 +913,8 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
             return avg, self.loss_fn(avg, label)
 
     net = RefNet()
-    opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=0.9,
-                          weight_decay=1e-4)
+    # the reference's exact call: Adam with only lr (joint_model.py:276)
+    opt = torch.optim.Adam(net.parameters(), lr=lr)
     tx = [torch.tensor(m) for m in train.modalities]
     ty = torch.tensor(train.labels.astype(np.int64))
     net.train()
@@ -946,8 +950,7 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
                      num_modality=3)
     sample = [jnp.asarray(m[:2]) for m in train.modalities]
     state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
-                               steps_per_epoch=8, momentum=0.9,
-                               weight_decay=1e-4)
+                               steps_per_epoch=8, optimizer="adam")
 
     torch.manual_seed(17)
     sd = RefNet().state_dict()
