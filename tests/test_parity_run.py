@@ -63,7 +63,43 @@ def test_parity_run_fixture_mode(tmp_path, capsys):
     assert "test_acc_epoch" in header
 
 
+def test_parity_run_fixture_mimic_targets_report_only(tmp_path, capsys):
+    """--fixture on MIMIC — the 50-seed parity workflow's actual target
+    benchmark (mimic_jlogits.csv): fabricates a real-format im.pk (pickle
+    keys, inf/nan cells, 6-way label construction), runs the multi-seed
+    path end to end, and the published targets print REPORT-ONLY (a
+    fixture-scale accuracy must never PASS/FAIL against 0.7727)."""
+    from tools.parity_run import main
+
+    out_csv = str(tmp_path / "export.csv")
+    rc = main(["--dir", "mimic", "--model-type", "jlogits", "--fixture",
+               "--seeds", "2", "--out", out_csv])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "synthetic=False" in out
+    assert "REPORT-ONLY (fixture)" in out
+    assert "FAIL" not in out and ": PASS" not in out
+    assert os.path.exists(out_csv)
+    with open(out_csv) as f:
+        header = f.readline()
+    assert "test_acc_epoch" in header
+
+
+def test_parity_run_fixture_enrico(tmp_path, capsys):
+    """--fixture on enrico: real csv+screenshot/wireframe layout through
+    the adapter's shuffle-split + native decode, report-only verdict."""
+    from tools.parity_run import main
+
+    out_csv = str(tmp_path / "export.csv")
+    rc = main(["--dir", "enrico", "--fixture", "--out", out_csv,
+               "--set", "compute_dtype=float32"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "synthetic=False" in out
+    assert os.path.exists(out_csv)
+
+
 def test_parity_run_fixture_rejects_other_dirs(capsys):
     from tools.parity_run import main
 
-    assert main(["--dir", "mimic", "--fixture"]) == 2
+    assert main(["--dir", "food101", "--fixture"]) == 2

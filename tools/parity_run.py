@@ -32,8 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
-
 # (dir, model_type) -> {metric: (target, requires)}; requires = config keys
 # that must hold for the published number to be comparable.
 TARGETS = {
@@ -65,7 +63,98 @@ TARGETS = {
 }
 
 
+def _fabricate_mimic_pickle(fixture_dir: str, n: int = 60, seed: int = 0):
+    """Tiny im.pk twin in the MultiBench wire format the mimic adapter
+    reads (reference mimic/get_data.py:30-80): ``ep_tdata`` (N, 24, 12)
+    time series, ``adm_features_all`` (N, 5) statics, ``adm_labels_all``
+    (N, 6) with the >0 flags the 6-way mortality construction selects on,
+    and ``y_icd9`` for task_num >= 0.  Includes a few inf/nan cells so the
+    sanitization path is exercised.  Returns the data_path to pass (the
+    im.pk FILE itself)."""
+    import pickle
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x_t = rng.normal(size=(n, 24, 12)).astype(np.float32)
+    x_s = rng.normal(size=(n, 5)).astype(np.float32)
+    x_t[0, 0, 0] = np.inf
+    x_s[1, 2] = np.nan
+    cls = rng.integers(0, 6, size=n)
+    adm = np.zeros((n, 6), np.float32)
+    for i, c in enumerate(cls):               # class c -> adm[:, c] > 0
+        if c > 0:
+            adm[i, c] = 1.0
+    # plant a learnable signal: statics carry the class id
+    x_s[:, 0] += cls.astype(np.float32)
+    path = os.path.join(fixture_dir, "im.pk")
+    with open(path, "wb") as f:
+        pickle.dump({"ep_tdata": x_t, "adm_features_all": x_s,
+                     "adm_labels_all": adm,
+                     "y_icd9": rng.integers(0, 2, size=(n, 20))}, f)
+    return path
+
+
+def _fabricate_enrico_corpus(fixture_dir: str, n: int = 20, seed: int = 0):
+    """Tiny enrico layout (reference enrico/get_data.py:40-120):
+    design_topics.csv + screenshots/<id>.jpg + wireframes/<id>.png; the
+    adapter's 65/15/20 shuffle-split (seed 42), corrupted-id drops, and
+    native JPEG decode all run for real."""
+    import csv as _csv
+
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    topics = ["news", "chat", "media", "form"]
+    os.makedirs(os.path.join(fixture_dir, "screenshots"), exist_ok=True)
+    os.makedirs(os.path.join(fixture_dir, "wireframes"), exist_ok=True)
+    rows = []
+    for i in range(n):
+        sid = str(60000 + i)
+        topic = topics[i % len(topics)]
+        rows.append({"screen_id": sid, "topic": topic})
+        base = np.full((300, 150, 3), 40 * (i % len(topics)), np.uint8)
+        base += rng.integers(0, 30, size=base.shape, dtype=np.uint8)
+        Image.fromarray(base).save(
+            os.path.join(fixture_dir, "screenshots", sid + ".jpg"))
+        Image.fromarray(255 - base).save(
+            os.path.join(fixture_dir, "wireframes", sid + ".png"))
+    with open(os.path.join(fixture_dir, "design_topics.csv"), "w",
+              newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["screen_id", "topic"])
+        w.writeheader()
+        w.writerows(rows)
+    return fixture_dir + "/"
+
+
+def _fabricate_fixture(opts, fixture_dir: str):
+    """Fabricate the benchmark's REAL on-disk layout; returns the extra
+    --set overrides.  Covered: cremad (bench.py's fabricator — wav +
+    frames), mimic (im.pk pickle twin — the 50-seed parity workflow's
+    actual target benchmark), enrico (design_topics.csv + image dirs)."""
+    bs = 8
+    if opts.dir == "cremad":
+        from bench import _fabricate_cremad_corpus
+
+        _fabricate_cremad_corpus(fixture_dir, n_clips=bs)
+        data_path = fixture_dir + "/"
+    elif opts.dir == "mimic":
+        data_path = _fabricate_mimic_pickle(fixture_dir)
+    elif opts.dir == "enrico":
+        data_path = _fabricate_enrico_corpus(fixture_dir)
+    else:
+        return None
+    return [f"data_path={data_path}", f"batch_size={bs}",
+            "num_epochs=1", "loader_workers=1",
+            f"ckpt_dir={fixture_dir}_ckpts"]
+
+
 def main(argv=None):
+    # entry-point convention (CLAUDE.md): enable the persistent
+    # compile cache at RUN time, never at import time — importing
+    # a tool (e.g. from tests) must not repoint the process cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("--dir", required=True)
@@ -80,28 +169,25 @@ def main(argv=None):
     ap.add_argument("--strict", action="store_true",
                     help="exit 1 if any verdict is FAIL")
     ap.add_argument("--fixture", action="store_true",
-                    help="fabricate a tiny REAL-FORMAT corpus (cremad "
-                         "on-disk layout, the bench.py fabricator) in a "
-                         "temp dir and run the full train->CSV->verdict "
-                         "path against it — regression-tests this harness "
-                         "on machines without a dataset mount (report-only "
-                         "verdicts; cremad has no published accuracy)")
+                    help="fabricate a tiny REAL-FORMAT corpus (cremad wav+"
+                         "frames layout, mimic im.pk pickle, or the enrico "
+                         "csv+image layout) in a temp dir and run the full "
+                         "train->CSV->verdict path against it — regression-"
+                         "tests this harness on machines without a dataset "
+                         "mount (report-only at fixture scale)")
     opts = ap.parse_args(argv)
 
     fixture_dir = None
     if opts.fixture:
         import tempfile
 
-        if opts.dir != "cremad":
-            print("[parity] --fixture fabricates the cremad layout only")
-            return 2
-        from bench import _fabricate_cremad_corpus
-
         fixture_dir = tempfile.mkdtemp(prefix="parity_fixture_")
-        bs = 8
-        _fabricate_cremad_corpus(fixture_dir, n_clips=bs)
-        opts.set = [f"data_path={fixture_dir}/", f"batch_size={bs}",
-                    "num_epochs=1", "loader_workers=1"] + opts.set
+        fixture_sets = _fabricate_fixture(opts, fixture_dir)
+        if fixture_sets is None:
+            print("[parity] --fixture fabricates cremad/mimic/enrico "
+                  "layouts only")
+            return 2
+        opts.set = fixture_sets + opts.set
 
     from main import run_training
     from multimodal_clinical_tpu.benchmarks import get_benchmark
@@ -170,8 +256,12 @@ def main(argv=None):
             if unmet:
                 line += (f"  [target {target:.4f} skipped: requires "
                          f"{unmet} — pass --set accordingly]")
-            elif synthetic:
-                line += f"  [target {target:.4f}: REPORT-ONLY (synthetic)]"
+            elif synthetic or opts.fixture:
+                # fixture corpora exercise the real on-disk FORMAT at toy
+                # scale; their accuracies are as incomparable to the
+                # published numbers as the synthetic twins'
+                why = "synthetic" if synthetic else "fixture"
+                line += f"  [target {target:.4f}: REPORT-ONLY ({why})]"
             else:
                 tol = max(2 * std, 0.01)
                 ok = abs(mean - target) <= tol
