@@ -24,10 +24,11 @@ import numpy as np
 from ..data.synthetic import make_synthetic_splits
 from ..engine.run import DataBundle
 from ..engine.spec import ModelSpec, resolve_dtype
-from ..models.zoo import FakeNewsFusionNet
+from ..models.zoo import FakeNewsEmbedFusionNet, FakeNewsFusionNet
 
 MODEL_TYPES = ("jlogits", "ensemble", "jlogits_dialogue",
-               "ensemble_dialogue")
+               "ensemble_dialogue", "jlogits_embed",
+               "jlogits_embed_dialogue")
 
 
 def _hash_tokenize(text: str, max_len: int, vocab: int) -> np.ndarray:
@@ -112,11 +113,78 @@ class FakeNewsDiskDataset:
                 "label": np.asarray(labels, np.int32)}
 
 
+_IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class FakeNewsEmbedDataset:
+    """Precomputed-embedding dataset for the embed-fusion variants.
+
+    Reads the dataframe pickle written by ``tools/preprocess.py
+    fakenews-embed`` ({"id", "embedding", "label"[, "dialogue_embedding"]}
+    — the TPU-native stand-in for the reference's
+    ``preprocessed_*_dataframe_path`` pickles, fakenews/fakenews.yaml) and
+    images from ``<data_dir>/images/<id>.jpg`` (model.py:24
+    ``IMAGES_DIR``).  Images follow the reference's embed-model transform:
+    resize to 224, scale to [0, 1], normalize with the torchvision
+    imagenet mean/std (model.py:77-87 ``build_image_transform``).  Rows
+    whose image file is missing are dropped at admission (the reference
+    preprocessing guarantees image presence)."""
+
+    def __init__(self, data_dir: str, pickle_path: str,
+                 with_dialogue: bool, image_dim: int = 224):
+        import pickle
+
+        with open(pickle_path, "rb") as f:
+            frame = pickle.load(f)
+        self.data_dir = data_dir
+        self.image_dim = image_dim
+        self.with_dialogue = with_dialogue
+        if with_dialogue and "dialogue_embedding" not in frame:
+            raise ValueError(
+                f"{pickle_path} has no 'dialogue_embedding' — rerun "
+                "tools/preprocess.py fakenews-embed --dialogue")
+        self.items = []
+        for i, sid in enumerate(frame["id"]):
+            img = os.path.join(data_dir, "images", str(sid) + ".jpg")
+            if os.path.exists(img):
+                self.items.append((i, img))
+        keep = [i for i, _ in self.items]
+        self.embeddings = np.asarray(frame["embedding"],
+                                     np.float32)[keep]
+        self.dialogue = (np.asarray(frame["dialogue_embedding"],
+                                    np.float32)[keep]
+                         if with_dialogue else None)
+        self.labels = np.asarray(frame["label"], np.int32)[keep]
+
+    def __len__(self):
+        return len(self.items)
+
+    def gather(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        imgs = []
+        for i in indices:
+            _, img_path = self.items[int(i)]
+            img = Image.open(img_path).convert("RGB").resize(
+                (self.image_dim, self.image_dim))
+            arr = np.asarray(img, np.float32) / 255.0
+            imgs.append((arr - _IMAGENET_MEAN) / _IMAGENET_STD)
+        out = {"x1": self.embeddings[indices], "x2": np.stack(imgs),
+               "label": self.labels[indices]}
+        if self.dialogue is not None:
+            out["x3"] = self.dialogue[indices]
+        return out
+
+
 def get_data(args) -> DataBundle:
     data_dir = getattr(args, "data_path", "data/fakenews/")
     max_len = int(getattr(args, "max_seq_len", 128))
     vocab = int(getattr(args, "vocab_size", 30522))
-    with_dialogue = str(getattr(args, "model_type", "")).endswith("_dialogue")
+    model_type = str(getattr(args, "model_type", ""))
+    if "_embed" in model_type:
+        return _get_embed_data(args, data_dir)
+    with_dialogue = model_type.endswith("_dialogue")
     train_tsv = os.path.join(data_dir, "train.tsv")
     if os.path.exists(train_tsv) and not with_dialogue:
         train = FakeNewsDiskDataset(data_dir, "train.tsv", max_len, vocab,
@@ -146,9 +214,65 @@ def get_data(args) -> DataBundle:
                       synthetic=synthetic)
 
 
+def _get_embed_data(args, data_dir: str) -> DataBundle:
+    """Embed-variant data: the reference's ``preprocessed_{train,val,
+    test}_dataframe_path`` config keys (fakenews/fakenews.yaml) point at
+    dataframe pickles; this repo's wire format for them is the one
+    ``tools/preprocess.py fakenews-embed`` writes.  Defaults look next to
+    ``data_path`` under the reference's file-name convention."""
+    with_dialogue = str(getattr(args, "model_type", "")).endswith("_dialogue")
+    infix = "text_image_dialogue" if with_dialogue else "text_image"
+    paths = {}
+    for split in ("train", "val", "test"):
+        p = getattr(args, f"preprocessed_{split}_dataframe_path", None)
+        paths[split] = p or os.path.join(
+            data_dir, f"{split}__{infix}_dataframe.pkl")
+    if all(os.path.exists(p) for p in paths.values()):
+        splits = [FakeNewsEmbedDataset(data_dir, paths[s], with_dialogue)
+                  for s in ("train", "val", "test")]
+        synthetic = False
+    else:
+        missing = [p for p in paths.values() if not os.path.exists(p)]
+        print(f"[fakenews] embed dataframes not found ({missing[0]}, ...); "
+              "using synthetic twin")
+        name = ("fakenews_embed_dialogue" if with_dialogue
+                else "fakenews_embed")
+        splits = make_synthetic_splits(
+            name, int(args.num_classes), int(getattr(args, "seed", 0)),
+            n_train=64, n_val=32, n_test=32,
+        )
+        synthetic = True
+    # same loader wiring as the token variants: sequential everywhere
+    # (fakenews/run_training.py:63-88)
+    return DataBundle(*splits, train_sampler="sequential",
+                      synthetic=synthetic)
+
+
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
     with_dialogue = model_type.endswith("_dialogue")
+    if "_embed" in model_type:
+        # the reference's one RUNNABLE fakenews model: concat fusion over
+        # precomputed embeddings + resnet152 (fakenews/model.py:34-257).
+        # Single fused head -> jlogits contract with num_modality=1.
+        module = FakeNewsEmbedFusionNet(
+            num_classes=int(args.num_classes),
+            embedding_dim=int(getattr(args, "text_embed_dim", 768)),
+            with_dialogue=with_dialogue,
+            image_stage_sizes=tuple(getattr(args, "embed_stage_sizes",
+                                            (3, 8, 36, 3))),
+            dropout_p=float(getattr(args, "dropout_p", 0.1)),
+            dtype=resolve_dtype(args),
+        )
+        spec = ModelSpec(
+            module=module, contract="jlogits", num_modality=1,
+            num_inputs=3 if with_dialogue else 2,
+            # legacy standalone dir: no ModelCheckpoint, final-epoch test,
+            # flat epoch-end aliases (model.py:207-226 test_epoch_end)
+            test_restore_best=False, legacy_metric_aliases=True)
+        # bare Adam with the module-scope LEARNING_RATE=1e-4 constant
+        # (fakenews/model.py:18,229-232 — same protocol as the token path)
+        return spec, {"optimizer": "adam", "lr_override": 1.0e-4}
     module = FakeNewsFusionNet(
         num_classes=int(args.num_classes),
         vocab_size=int(getattr(args, "vocab_size", 30522)),

@@ -36,6 +36,10 @@ BENCHMARK_SHAPES: Dict[str, List[Tuple[int, ...]]] = {
     "food101_legacy": [(64, 64, 3), (32,)],           # get_data_old.py (shrunk)
     "fakenews": [(32,), (64, 64, 3)],                 # fakenews/get_data.py (shrunk)
     "fakenews_dialogue": [(32,), (64, 64, 3), (32,)],
+    # precomputed sentence-transformer embeddings + image
+    # (fakenews/model.py:27 SENTENCE_TRANSFORMER_EMBEDDING_DIM; image shrunk)
+    "fakenews_embed": [(768,), (64, 64, 3)],
+    "fakenews_embed_dialogue": [(768,), (64, 64, 3), (768,)],
 }
 
 # Which modality indices are int token ids (everything else is float).

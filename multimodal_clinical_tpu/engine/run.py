@@ -114,7 +114,8 @@ def sample_inputs_for_init(spec: ModelSpec, data: DataBundle):
             {k: jnp.asarray(v) for k, v in sample.items()},
             jax.random.PRNGKey(0), False)
         sample = {k: np.asarray(v) for k, v in dev.items()}
-    return [sample[f"x{i + 1}"] for i in range(spec.num_modality)]
+    return [sample[f"x{i + 1}"]
+            for i in range(spec.num_inputs or spec.num_modality)]
 
 
 def init_state_on_mesh(spec: ModelSpec, args, data: DataBundle, mesh,

@@ -40,6 +40,12 @@ class ModelSpec:
     module: nn.Module
     contract: str = "jlogits"
     num_modality: int = 2
+    # input-modality count when it differs from the LOGIT-head count —
+    # e.g. the fakenews embed-fusion model consumes 2-3 input modalities
+    # but emits ONE fused head (fakenews/model.py:59-74), so
+    # num_modality=1 (EMA/metric streams) with num_inputs=2|3.  None
+    # means "same as num_modality" (every per-modality-head model).
+    num_inputs: Optional[int] = None
 
     # --- fusion variants ---
     # eval fusion for jprobas models: "probas" (cremad jprobas default path —

@@ -37,8 +37,9 @@ from .state import TrainState
 Batch = Dict[str, jnp.ndarray]
 
 
-def _model_inputs(batch: Batch, num_modality: int):
-    return [batch[f"x{i + 1}"] for i in range(num_modality)]
+def _model_inputs(batch: Batch, spec):
+    n = spec.num_inputs or spec.num_modality
+    return [batch[f"x{i + 1}"] for i in range(n)]
 
 
 def _per_sample_ce(logits, label):
@@ -70,7 +71,7 @@ def _forward(state: TrainState, params, batch: Batch, spec: ModelSpec,
         variables["batch_stats"] = state.batch_stats
     kwargs = dict(train=train)
     rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
-    inputs = _model_inputs(batch, spec.num_modality)
+    inputs = _model_inputs(batch, spec)
     if train and has_bs:
         out, mutated = state.apply_fn(variables, *inputs, mutable=["batch_stats"],
                                       rngs=rngs, **kwargs)
@@ -294,6 +295,7 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
         out, _ = _forward(state, state.params, batch, spec, False, None)
         logits = out["logits"]
         label, valid = batch["label"], batch["valid"]
+        eval_vicreg = None
 
         if spec.contract == "jprobas" and eval_fusion == "probas":
             report = C.to_logprobs(logits)
@@ -313,9 +315,10 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
                 # the vicreg variant's overridden val/test steps eval the
                 # SUM of the unimodal losses, not the base-class mean
                 # (enrico/ensemble_model_vicreg.py:211, 270)
-                loss = sum(ce) + spec.vicreg_weight * vicreg_loss(
-                    out["embeddings"][0], out["embeddings"][1], valid
-                )
+                v = vicreg_loss(out["embeddings"][0], out["embeddings"][1],
+                                valid)
+                loss = sum(ce) + spec.vicreg_weight * v
+                eval_vicreg = v
             else:
                 loss = sum(ce) / len(ce)
         else:
@@ -332,6 +335,11 @@ def make_eval_step(spec: ModelSpec, jit: bool = True
             "loss": loss,
             "acc": C.accuracy(fused, label, valid),
         }
+        if eval_vicreg is not None:
+            # per-batch eval stream: the vicreg variant logs the RAW
+            # (unweighted) vicreg loss each val/test batch
+            # (enrico/ensemble_model_vicreg.py:216, 268)
+            outputs["vicreg_loss"] = eval_vicreg
         if spec.track_min_loss_counts:
             outputs.update(_min_loss_counts(logits, fused, label, valid))
         if spec.contract == "ensemble":

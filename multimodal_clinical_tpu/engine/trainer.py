@@ -155,6 +155,10 @@ class Trainer:
                 if "df_acc" in o:
                     row[f"{prefix}_step/logits_df_acc"] = float(
                         np.asarray(o["df_acc"]))
+                if "vicreg_loss" in o:
+                    # ensemble_model_vicreg.py:216 (val) / 268 (test)
+                    row[f"{prefix}_step/{prefix}_vicreg_loss"] = float(
+                        np.asarray(o["vicreg_loss"]))
                 self.logger.log(row, step=base)
         summary = eval_epoch_summary(outputs, prefix)
         if self.spec.legacy_metric_aliases:

@@ -341,3 +341,6 @@ resnet18_encoder = partial(ResNetEncoder, stage_sizes=(2, 2, 2, 2))
 resnet34_encoder = partial(ResNetEncoder, stage_sizes=(3, 4, 6, 3))
 resnet101_encoder = partial(ResNetEncoder, stage_sizes=(3, 4, 23, 3))
 resnet50_encoder = partial(BottleneckResNetEncoder, stage_sizes=(3, 4, 6, 3))
+# torchvision resnet152 geometry — the fakenews image tower
+# (fakenews/model.py:238: torchvision.models.resnet152)
+resnet152_encoder = partial(BottleneckResNetEncoder, stage_sizes=(3, 8, 36, 3))

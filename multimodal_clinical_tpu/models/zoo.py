@@ -17,7 +17,7 @@ subtrees (existing_algos/OGM_GE.py:56-57).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,7 +26,7 @@ from .common import TorchDense, global_avg_pool
 from .lenet import LeNet
 from .mlp import HeadMLP, MimicMLP
 from .pretrained import ResNet18Slim, VGG11Slim
-from .resnet import ResNetEncoder
+from .resnet import BottleneckResNetEncoder, ResNetEncoder
 from .rnn import GRUNet, LstmClassifier
 
 
@@ -336,3 +336,63 @@ class FakeNewsFusionNet(nn.Module):
             logits.append(TorchDense(self.num_classes, dtype=self.dtype,
                                      name="x3_classifier")(dlg_emb))
         return {"logits": logits}
+
+
+class FakeNewsEmbedFusionNet(nn.Module):
+    """The reference's one RUNNABLE fakenews architecture: concat fusion
+    over precomputed sentence-transformer embeddings
+    (fakenews/model.py:34-148, ``_build_model`` 234-257).
+
+    Towers: ``relu(Linear(768 -> 300))`` on the text embedding, a
+    Bottleneck-ResNet152 image encoder whose classifier fc is replaced by
+    ``Linear(2048 -> 300)`` (model.py:238-241, ``RESNET_OUT_DIM=2048``),
+    and — for the dialogue variant (the only LightningModule actually
+    present in model.py:150) — ``relu(Linear(768 -> 300))`` on the
+    dialogue-summary embedding.  Fusion (model.py:59-74, 119-133):
+    ``concat -> dropout(relu(Linear(-> 512))) -> relu(fc1 512 -> 512) ->
+    fc2 -> CE`` — a single fused logits head, so the spec binds it as a
+    ``jlogits`` contract with ``num_modality=1`` (CE on the mean of one
+    logit head IS the reference's CE on the head).  ``image_stage_sizes``
+    shrinks the tower for tests; the default is torchvision resnet152's
+    (3, 8, 36, 3).
+    """
+
+    num_classes: int
+    embedding_dim: int = 768       # SENTENCE_TRANSFORMER_... model.py:27
+    text_feature_dim: int = 300    # hparams default, model.py:158
+    image_feature_dim: int = 300   # defaults to text_feature_dim (159)
+    dialogue_feature_dim: int = 300
+    fusion_output_size: int = 512  # hparams default, model.py:255
+    hidden_size: int = 512         # model.py:46
+    dropout_p: float = 0.1         # DROPOUT_P, model.py:19
+    with_dialogue: bool = False
+    image_stage_sizes: Sequence[int] = (3, 8, 36, 3)
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, x3=None, train: bool = True):
+        if x1.shape[-1] != self.embedding_dim:
+            raise ValueError(
+                f"text embedding dim {x1.shape[-1]} != configured "
+                f"embedding_dim {self.embedding_dim} (text_embed_dim key)")
+        text = nn.relu(TorchDense(self.text_feature_dim, dtype=self.dtype,
+                                  name="text_module")(x1))
+        feats = BottleneckResNetEncoder(
+            stage_sizes=tuple(self.image_stage_sizes), dtype=self.dtype,
+            name="image_module")(x2, train)
+        image = nn.relu(TorchDense(self.image_feature_dim, dtype=self.dtype,
+                                   name="image_fc")(global_avg_pool(feats)))
+        parts = [text, image]
+        if self.with_dialogue:
+            parts.append(nn.relu(TorchDense(
+                self.dialogue_feature_dim, dtype=self.dtype,
+                name="dialogue_module")(x3)))
+        combined = jnp.concatenate(parts, axis=-1)
+        fused = nn.Dropout(self.dropout_p, deterministic=not train)(
+            nn.relu(TorchDense(self.fusion_output_size, dtype=self.dtype,
+                               name="fusion")(combined)))
+        hidden = nn.relu(TorchDense(self.hidden_size, dtype=self.dtype,
+                                    name="fc1")(fused))
+        logits = TorchDense(self.num_classes, dtype=self.dtype,
+                            name="fc2")(hidden)
+        return {"logits": [logits]}

@@ -43,19 +43,24 @@ def host_fingerprint() -> str:
 
 
 def _effective_platform() -> str:
-    """The platform this process will compile for, WITHOUT initializing a
-    backend (a probe that opened a TPU client would violate the one-TPU-
-    process rule while another run is live).  jax.config wins over the env
-    var because this image's sitecustomize plugin forces ``axon`` over
-    JAX_PLATFORMS — processes that really run CPU (tests, dryrun children)
-    set jax.config.update("jax_platforms", "cpu") after import."""
+    """The PRIMARY platform this process will compile for, WITHOUT
+    initializing a backend (a probe that opened a TPU client would violate
+    the one-TPU-process rule while another run is live).  jax.config wins
+    over the env var because this image's sitecustomize plugin forces
+    ``axon`` over JAX_PLATFORMS — processes that really run CPU (tests,
+    dryrun children) set jax.config.update("jax_platforms", "cpu") after
+    import.  jax_platforms is a priority LIST: this image's plugin sets
+    ``"axon,cpu"`` (TPU with CPU fallback), and only the first entry is
+    what the process compiles for — a substring test on the whole list
+    would misroute every TPU run into the CPU cache dir."""
     try:
         import jax
 
         cfg = jax.config.jax_platforms
     except Exception:
         cfg = None
-    return str(cfg or os.environ.get("JAX_PLATFORMS") or "")
+    platforms = str(cfg or os.environ.get("JAX_PLATFORMS") or "")
+    return platforms.split(",")[0].strip()
 
 
 def _marker_text() -> str:
@@ -95,7 +100,7 @@ def resolve_cache_dir(root: str | None = None) -> str:
     """Default cache dir for this process: platform-split under ``root``
     (the repo dir unless overridden for tests)."""
     root = root or _REPO_DIR
-    if "cpu" in _effective_platform():
+    if _effective_platform() == "cpu":
         return os.path.join(root, f".jax_cache_cpu-{host_fingerprint()}")
     return os.path.join(root, ".jax_cache")
 

@@ -107,6 +107,23 @@ def test_mustard_three_modality_trains(tmp_path):
     assert "test_epoch/test_avg_x3_acc_uncal" in summary
 
 
+def test_fakenews_embed_fusion_trains(tmp_path):
+    """The reference-architecture embed variant (fakenews/model.py:34-257):
+    precomputed text+dialogue embeddings + bottleneck image tower, single
+    fused head under jlogits/num_modality=1, Adam(1e-4)."""
+    from multimodal_clinical_tpu.benchmarks import fakenews
+
+    args = make_args(model_type="jlogits_embed_dialogue", num_classes=3,
+                     ckpt_dir=str(tmp_path), embed_stage_sizes=(1, 1, 1, 1),
+                     text_embed_dim=16)
+    args._synth_name = "fakenews_embed_dialogue"
+    summary = run_tiny(fakenews, args,
+                       shapes=[(16,), (32, 32, 3), (16,)])
+    assert "test_epoch/test_avg_acc" in summary
+    # legacy flat aliases (model.py:207-226 test_epoch_end namespace)
+    assert "avg_test_acc" in summary
+
+
 @pytest.mark.slow
 def test_food101_siglip_trains_one_step(tmp_path):
     args = make_args(num_classes=4, model_type="jlogits", batch_size=8,
@@ -181,6 +198,10 @@ def test_optimizer_protocol_matches_reference_configure_optimizers():
     assert kwargs_of(mimic, "jprobas") == {"optimizer": "adam"}
     assert kwargs_of(fakenews, "jlogits") == {
         "optimizer": "adam", "lr_override": 1.0e-4}
+    # the embed-fusion variants share model.py's module-scope constant
+    for mt in ("jlogits_embed", "jlogits_embed_dialogue"):
+        assert kwargs_of(fakenews, mt) == {
+            "optimizer": "adam", "lr_override": 1.0e-4}, mt
 
     # plain SGD(lr): avmnist, every variant
     for mt in ("jlogits", "jprobas", "jprobas_jlogits", "ensemble",

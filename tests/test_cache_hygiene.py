@@ -34,6 +34,63 @@ def test_resolve_cache_dir_is_platform_split(tmp_path):
         cache_mod._effective_platform = real
 
 
+def test_platform_priority_list_routes_by_primary(monkeypatch):
+    """This image's sitecustomize sets jax_platforms to the priority LIST
+    'axon,cpu' (TPU with CPU fallback).  Only the FIRST entry is what the
+    process compiles for: a TPU run must resolve the shared .jax_cache —
+    a substring test on the whole list misrouted every CLI/bench TPU run
+    into the CPU dir, where marker churn purged 1-10-minute TPU compiles
+    (observed live in round 5)."""
+    real = jax.config.jax_platforms
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        assert cache_mod._effective_platform() == "axon"
+        assert os.path.basename(
+            cache_mod.resolve_cache_dir(root="/r")) == ".jax_cache"
+        jax.config.update("jax_platforms", "cpu")
+        assert cache_mod._effective_platform() == "cpu"
+        assert os.path.basename(cache_mod.resolve_cache_dir(root="/r")) == (
+            f".jax_cache_cpu-{cache_mod.host_fingerprint()}")
+    finally:
+        jax.config.update("jax_platforms", real)
+
+
+def test_dryrun_purge_leaves_a_valid_marker(tmp_path):
+    """__graft_entry__'s feature-mismatch purge rmtree's its own CPU dir —
+    marker included — and its child recreates the dir WITHOUT a marker
+    (explicit MMCT_JAX_CACHE dirs are honored verbatim).  The parent must
+    re-mark the dir after purging, or the next marker-checking process
+    treats the fresh entries as unknown provenance and purges them again
+    (cache thrash between the dryrun and every other entry point)."""
+    import __graft_entry__ as graft
+
+    d = tmp_path / ".jax_cache_cpu-fp"
+    d.mkdir()
+    (d / "entry.bin").write_bytes(b"x")
+    (d / cache_mod._MARKER).write_text(cache_mod._marker_text())
+
+    # simulate the dryrun's purge path: rmtree + re-mark
+    import shutil
+
+    shutil.rmtree(d)
+    graft._remark_cpu_cache(str(d))
+    marker = d / cache_mod._MARKER
+    assert marker.read_text() == cache_mod._marker_text()
+    # the child then compiles fresh entries into the marked dir ...
+    (d / "fresh.bin").write_bytes(b"compiled by child")
+    # ... and the next marker-checking process must NOT purge them
+    assert not cache_mod._purge_on_marker_mismatch(
+        str(d), cache_mod._marker_text())
+    assert (d / "fresh.bin").exists()
+
+    # the pre-child validation purges a stale-marker dir instead of
+    # laundering it under a fresh marker
+    (d / cache_mod._MARKER).write_text("otherhost:jaxlib-0")
+    assert graft._validate_cache_marker(str(d), cache_mod._marker_text())
+    assert not (d / "fresh.bin").exists()
+    assert marker.read_text() == cache_mod._marker_text()
+
+
 def test_marker_mismatch_purges_planted_entry(tmp_path):
     """Plant a cache entry under a stale marker: the resolver must purge
     the dir (the entry is another host generation's AOT executable) and

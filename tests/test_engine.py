@@ -307,12 +307,17 @@ def test_ensemble_eval_loss_semantics():
     np.testing.assert_allclose(float(out["loss"]), (ce(l1) + ce(l2)) / 2,
                                rtol=1e-5)
 
-    # vicreg variant: eval loss is the SUM + 0.1 * vicreg
+    # vicreg variant: eval loss is the SUM + 0.1 * vicreg, and the RAW
+    # vicreg term is emitted as its own per-batch stream (the reference
+    # logs val_step/val_vicreg_loss / test_step/test_vicreg_loss each
+    # eval batch — ensemble_model_vicreg.py:216, 268)
     out, fwd = eval_out(vicreg_weight=0.1)
     l1, l2 = fwd["logits"]
     e1, e2 = fwd["embeddings"]
-    want = ce(l1) + ce(l2) + 0.1 * float(vicreg_loss(e1, e2))
+    raw_v = float(vicreg_loss(e1, e2))
+    want = ce(l1) + ce(l2) + 0.1 * raw_v
     np.testing.assert_allclose(float(out["loss"]), want, rtol=1e-5)
+    np.testing.assert_allclose(float(out["vicreg_loss"]), raw_v, rtol=1e-5)
 
     # fusion_weights are train-only: eval loss/logits identical to plain
     out_w, fwd = eval_out(fusion_weights=(0.8, 1.5))

@@ -975,6 +975,141 @@ def test_mustard_three_modality_trajectory_with_ported_init(tmp_path):
                                              ours_epoch_losses)
 
 
+def test_fakenews_embed_fusion_trajectory_with_ported_init():
+    """The reference's one RUNNABLE fakenews architecture, trajectory-pinned
+    under its actual optimizer: a torch twin assembled from the reference's
+    own pieces — the JointTextImageModel fusion math (fakenews/model.py:
+    59-74: relu towers -> concat -> relu(fusion) -> relu(fc1) -> fc2) with
+    a Linear(emb->feat) text module and the reference's own Bottleneck
+    ResNet image tower (cremad/backbone.py, the torchvision geometry
+    model.py:238 pulls in; fc replaced by Linear(2048->feat),
+    model.py:240-241) — stepped with bare torch.optim.Adam (model.py:230)
+    vs FakeNewsEmbedFusionNet under the jlogits/num_modality=1 contract
+    from the same ported init and data order.  dropout_p=0 on both sides
+    (the only stochastic element; its placement is structural).  Per-epoch
+    mean losses must agree to float tolerance."""
+    num_classes, batch, epochs, lr = 3, 8, 2, 1e-3
+    emb_dim, feat, fuse, hidden = 24, 12, 20, 16
+    n_train, img = 48, 32
+    from multimodal_clinical_tpu.data.synthetic import make_synthetic_dataset
+
+    shapes = [(emb_dim,), (img, img, 3)]
+    train = make_synthetic_dataset("fakenews_embed", n_train, num_classes,
+                                   seed=11, dirs_seed=11, shapes=shapes)
+
+    sys.path.insert(0, os.path.join(REFERENCE, "cremad"))
+    try:
+        import backbone as ref_backbone  # type: ignore
+    finally:
+        sys.path.pop(0)
+
+    torch.manual_seed(29)
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_module = torch.nn.Linear(emb_dim, feat)
+            self.image_resnet = ref_backbone.ResNet(
+                ref_backbone.Bottleneck, [1, 1, 1, 1], "visual")
+            self.image_fc = torch.nn.Linear(2048, feat)  # RESNET_OUT_DIM
+            self.fusion = torch.nn.Linear(2 * feat, fuse)
+            self.fc1 = torch.nn.Linear(fuse, hidden)
+            self.fc2 = torch.nn.Linear(hidden, num_classes)
+            self.loss_fn = torch.nn.CrossEntropyLoss()
+
+        def forward(self, text, image, label):
+            tf = torch.nn.functional.relu(self.text_module(text))
+            # visual forward folds (B, C, T, H, W); T=1 is a plain NCHW run
+            fmap = self.image_resnet(image[:, :, None])
+            imf = torch.nn.functional.relu(
+                self.image_fc(fmap.mean(dim=(2, 3))))
+            combined = torch.cat([tf, imf], dim=1)
+            fused = torch.nn.functional.relu(self.fusion(combined))
+            hid = torch.nn.functional.relu(self.fc1(fused))
+            logits = self.fc2(hid)
+            return logits, self.loss_fn(logits, label)
+
+    net = RefNet()
+    # snapshot the INIT before the torch loop mutates it — this is what
+    # gets ported to our side
+    sd0 = {k: v.detach().clone().numpy() for k, v in net.state_dict().items()}
+    resnet_sd0 = {k: v.detach().clone()
+                  for k, v in net.image_resnet.state_dict().items()}
+    opt = torch.optim.Adam(net.parameters(), lr=lr)  # model.py:230
+    t_emb = torch.tensor(train.modalities[0])
+    t_img = torch.tensor(train.modalities[1].transpose(0, 3, 1, 2))
+    ty = torch.tensor(train.labels.astype(np.int64))
+    net.train()
+    torch_epoch_losses = []
+    for _ in range(epochs):
+        losses = []
+        for start in range(0, len(ty), batch):
+            sl = slice(start, start + batch)
+            opt.zero_grad()
+            _, loss = net(t_emb[sl], t_img[sl], ty[sl])
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        torch_epoch_losses.append(float(np.mean(losses)))
+
+    # ---- our engine from the SAME ported weights ----
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_clinical_tpu.data.loader import Loader
+    from multimodal_clinical_tpu.data.sampler import SequentialSampler
+    from multimodal_clinical_tpu.engine.metrics import EpochAccumulator
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.engine.steps import make_train_step
+    from multimodal_clinical_tpu.models import torch_port
+    from multimodal_clinical_tpu.models.zoo import FakeNewsEmbedFusionNet
+
+    args = SimpleNamespace(num_classes=num_classes, batch_size=batch,
+                           learning_rate=lr, num_epochs=epochs,
+                           use_scheduler=False, seed=0)
+    module = FakeNewsEmbedFusionNet(
+        num_classes=num_classes, embedding_dim=emb_dim,
+        text_feature_dim=feat, image_feature_dim=feat,
+        fusion_output_size=fuse, hidden_size=hidden, dropout_p=0.0,
+        image_stage_sizes=(1, 1, 1, 1))
+    spec = ModelSpec(module=module, contract="jlogits", num_modality=1,
+                     num_inputs=2)
+    sample = [jnp.asarray(m[:2]) for m in train.modalities]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=6, optimizer="adam")
+
+    enc_params, enc_stats = torch_port.port_bottleneck_encoder(
+        resnet_sd0, stage_sizes=(1, 1, 1, 1))
+    params = dict(state.params)
+    params["image_module"] = enc_params
+    for lin in ("text_module", "image_fc", "fusion", "fc1", "fc2"):
+        params[lin] = torch_port.port_torch_linear(
+            sd0[lin + ".weight"], sd0[lin + ".bias"])
+    batch_stats = dict(state.batch_stats)
+    batch_stats["image_module"] = enc_stats
+    state = state.replace(params=params, batch_stats=batch_stats)
+
+    loader = Loader(train, batch, SequentialSampler(len(train)))
+    step = make_train_step(spec)
+    ours_epoch_losses = []
+    for _ in range(epochs):
+        acc = EpochAccumulator()
+        for b in loader:
+            state, metrics = step(state, b)
+            acc.append(metrics)
+        ours_epoch_losses.append(acc.summary()["train_loss"])
+
+    # single-forward parity from the ported init is ~3e-8; the trajectory
+    # tolerance is f32 program-rounding through 12 Adam steps of a
+    # BN-heavy bottleneck tower (measured: 1.1e-3 after epoch 1, 5.4e-3
+    # after epoch 2 — two XLA-vs-torch programs, same decomposition
+    # rationale as test_scan_dispatch_matches_single_steps)
+    for t_loss, o_loss in zip(torch_epoch_losses, ours_epoch_losses):
+        assert abs(t_loss - o_loss) < 1.5e-2, (torch_epoch_losses,
+                                               ours_epoch_losses)
+
+
 def _load_reference_mimic(module: str = "joint_model"):
     """Import a reference mimic/*.py model file read-only (its FusionNet
     is plain torch; the Lightning base classes it also defines need only a

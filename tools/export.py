@@ -94,7 +94,7 @@ def input_signature(spec, args, data, batch: int):
 
     sample = data.test.gather(np.arange(min(2, len(data.test))))
     keys, sig = [], []
-    for i in range(spec.num_modality):
+    for i in range(spec.num_inputs or spec.num_modality):
         wf = f"x{i + 1}_waveform"
         key = wf if wf in sample else f"x{i + 1}"
         arr = sample[key]

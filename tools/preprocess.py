@@ -625,7 +625,11 @@ def cmd_fakenews_embed(args):
     unavailable the embedder falls back to a deterministic hashed
     bag-of-words embedding and the summarizer to lead-N extraction, so the
     downstream pipeline shape is always exercised.  Output: a pickle of
-    {"id", "text", "embedding" (N, D), "label"[, "dialogue_summary"]}.
+    {"id", "text", "embedding" (N, D), "label"[, "dialogue_summary",
+    "dialogue_embedding" (N, D)]} — the dialogue summaries are embedded
+    with the same text embedder, feeding the embed-fusion variant's
+    dialogue tower (fakenews/model.py:243-244 consumes a 768-d dialogue
+    embedding).
     """
     import csv as _csv
     import pickle
@@ -682,6 +686,13 @@ def cmd_fakenews_embed(args):
            "label": np.asarray(labels, np.int32)}
     if args.dialogue:
         out["dialogue_summary"] = summaries
+        if embedder is not None:
+            out["dialogue_embedding"] = np.asarray(
+                embedder.encode(summaries), np.float32)
+        else:
+            out["dialogue_embedding"] = (
+                np.stack([hash_embed(s) for s in summaries]) if summaries
+                else np.zeros((0, args.embed_dim), np.float32))
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "wb") as f:
         pickle.dump(out, f)

@@ -48,11 +48,18 @@ def main(argv=None):
     # layouts; arg order is (state, batch) flattened
     lowered = train_step.lower(state, batch_dict)
     compiled = lowered.compile()
+    # input_formats mirrors the (args, kwargs) pytree of the traced call;
+    # flatten it the same way as the operands and take the batch's tail
     in_formats, _kw = compiled.input_formats
-    flat_state, state_tree = jax.tree_util.tree_flatten(state)
+    flat_formats = jax.tree_util.tree_leaves(in_formats)
+    flat_state = jax.tree_util.tree_leaves(state)
     n_state = len(flat_state)
     flat_batch, batch_tree = jax.tree_util.tree_flatten(batch_dict)
-    batch_formats = in_formats[n_state:n_state + len(flat_batch)]
+    if len(flat_formats) != n_state + len(flat_batch):
+        raise SystemExit(
+            f"format count {len(flat_formats)} != state {n_state} + "
+            f"batch {len(flat_batch)} leaves")
+    batch_formats = flat_formats[n_state:]
     keys = [str(p) for p, _ in
             jax.tree_util.tree_flatten_with_path(batch_dict)[0]]
 
@@ -60,8 +67,10 @@ def main(argv=None):
     relaid_flat = []
     moved = []
     for key, arr, fmt in zip(keys, flat_batch, batch_formats):
-        want = tuple(fmt.layout.major_to_minor)
+        # a None layout means the compiler accepted the default layout
         have = tuple(range(arr.ndim))  # device_put default: row-major
+        want = (tuple(fmt.layout.major_to_minor)
+                if getattr(fmt, "layout", None) is not None else have)
         default_m2m[key] = {"have": have, "want": want}
         if want != have:
             relaid_flat.append(jax.device_put(arr, fmt))
