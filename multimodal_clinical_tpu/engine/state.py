@@ -35,6 +35,9 @@ class TrainState(struct.PyTreeNode):
     # LR (the reference's LearningRateMonitor stream, utils/run_trainer.py:20)
     lr_schedule: Optional[Callable] = struct.field(
         pytree_node=False, default=None)
+    # Lightning's LearningRateMonitor names the stream after the torch
+    # optimizer class — "lr-SGD" or "lr-Adam" per variant
+    lr_metric_name: str = struct.field(pytree_node=False, default="lr-SGD")
 
 
 def make_lr_schedule(base_lr: float, use_scheduler: bool, steps_per_epoch: int,
@@ -171,6 +174,7 @@ def create_train_state(
         qmf_correctness=qmf_corr,
         qmf_confidence=qmf_conf,
         lr_schedule=schedule,
+        lr_metric_name="lr-Adam" if optimizer == "adam" else "lr-SGD",
         apply_fn=spec.module.apply,
         tx=tx,
     )

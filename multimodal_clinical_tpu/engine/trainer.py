@@ -332,7 +332,7 @@ class Trainer:
                         # LearningRateMonitor parity (run_trainer.py:20):
                         # optax consumed schedule(count-before-increment),
                         # so the step that just ran used this LR
-                        row["lr-SGD"] = float(
+                        row[self.state.lr_metric_name] = float(
                             self.state.lr_schedule(global_step - advanced))
                     self.logger.log(row, step=global_step)
                 into_epoch += advanced
@@ -368,7 +368,7 @@ class Trainer:
             # LearningRateMonitor parity (utils/run_trainer.py:20): report
             # the LR in effect after this epoch under Lightning's key
             if self.state.lr_schedule is not None:
-                epoch_summary["lr-SGD"] = float(
+                epoch_summary[self.state.lr_metric_name] = float(
                     self.state.lr_schedule(global_step))
 
             val_summary = self._run_eval(self.val_loader, "val")

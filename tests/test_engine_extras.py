@@ -490,6 +490,28 @@ def test_lr_sgd_in_per_step_stream(tmp_path):
                              for r in step_rows)
 
 
+def test_lr_stream_named_after_the_optimizer():
+    """Lightning's LearningRateMonitor names the stream after the torch
+    optimizer CLASS: SGD variants log ``lr-SGD``, the Adam variants
+    (mustard, mimic jprobas, fakenews — see the optimizer-protocol test)
+    log ``lr-Adam``."""
+    import jax
+    import numpy as np
+
+    from multimodal_clinical_tpu.engine.spec import ModelSpec
+    from multimodal_clinical_tpu.engine.state import create_train_state
+    from multimodal_clinical_tpu.models.zoo import MimicFusionNet
+
+    args = make_args(num_classes=2, batch_size=4, learning_rate=1e-3,
+                     num_epochs=1, use_scheduler=False)
+    spec = ModelSpec(module=MimicFusionNet(num_classes=2), num_modality=2)
+    sample = [np.zeros((2, 5), np.float32), np.zeros((2, 24, 12), np.float32)]
+    for opt, key in (("sgd", "lr-SGD"), ("adam", "lr-Adam")):
+        state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                                   steps_per_epoch=1, optimizer=opt)
+        assert state.lr_metric_name == key, (opt, state.lr_metric_name)
+
+
 class _InterruptAfter:
     """Loader wrapper that runs ``action`` when batch n is reached."""
 
