@@ -248,6 +248,35 @@ def _get_embed_data(args, data_dir: str) -> DataBundle:
                       synthetic=synthetic)
 
 
+def load_pretrained(args, state):
+    """Inject the embed variant's image tower from a LOCAL torchvision
+    resnet152 checkpoint (``resnet152_weights`` config key) — the
+    reference builds its image module with
+    ``torchvision.models.resnet152(pretrained=True)``
+    (fakenews/model.py:238), which needs egress; here the state dict must
+    be a local file.  No-op when unset."""
+    ckpt = getattr(args, "resnet152_weights", None)
+    if not ckpt:
+        return state
+    if "image_module" not in state.params:
+        raise ValueError(
+            "resnet152_weights applies to the jlogits_embed[_dialogue] "
+            "variants only (current model_type="
+            f"{getattr(args, 'model_type', '?')!r})")
+    from ..models.torch_port import port_bottleneck_encoder
+    from .food101 import _torch_state_dict
+
+    stages = tuple(getattr(args, "embed_stage_sizes", (3, 8, 36, 3)))
+    enc_params, enc_stats = port_bottleneck_encoder(
+        _torch_state_dict(ckpt), stage_sizes=stages)
+    params = dict(state.params)
+    params["image_module"] = enc_params
+    stats = dict(state.batch_stats)
+    stats["image_module"] = enc_stats
+    print(f"[fakenews] loaded resnet152 tower from {ckpt}")
+    return state.replace(params=params, batch_stats=stats)
+
+
 def get_model_spec(args, n_train: int) -> Tuple[ModelSpec, Dict]:
     model_type = getattr(args, "model_type", "jlogits")
     with_dialogue = model_type.endswith("_dialogue")

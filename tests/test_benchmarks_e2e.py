@@ -124,6 +124,60 @@ def test_fakenews_embed_fusion_trains(tmp_path):
     assert "avg_test_acc" in summary
 
 
+def test_fakenews_embed_resnet152_weights_port(tmp_path):
+    """`resnet152_weights` injects a local torchvision-style checkpoint
+    into the embed variant's image tower (the reference builds it with
+    torchvision.models.resnet152(pretrained=True), fakenews/model.py:238
+    — zero-egress here, so the state dict must be a local file)."""
+    import os
+    import sys
+
+    import numpy as np
+    import torch
+
+    reference = "/root/reference"
+    if not os.path.isdir(reference):
+        pytest.skip("reference checkout not present")
+    sys.path.insert(0, os.path.join(reference, "cremad"))
+    try:
+        import backbone as ref_backbone  # type: ignore
+    finally:
+        sys.path.pop(0)
+
+    import jax
+
+    from multimodal_clinical_tpu.benchmarks import fakenews
+    from multimodal_clinical_tpu.engine.state import create_train_state
+
+    torch.manual_seed(3)
+    r152 = ref_backbone.ResNet(ref_backbone.Bottleneck, [1, 1, 1, 1],
+                               "visual")
+    torch.save(r152.state_dict(), tmp_path / "r152.pth")
+
+    args = make_args(model_type="jlogits_embed", num_classes=3,
+                     text_embed_dim=16, embed_stage_sizes=(1, 1, 1, 1),
+                     resnet152_weights=str(tmp_path / "r152.pth"))
+    spec, opt_kwargs = fakenews.get_model_spec(args, n_train=8)
+    sample = [np.zeros((2, 16), np.float32),
+              np.zeros((2, 32, 32, 3), np.float32)]
+    state = create_train_state(spec, args, jax.random.PRNGKey(0), sample,
+                               steps_per_epoch=1, **opt_kwargs)
+    state = fakenews.load_pretrained(args, state)
+    want = r152.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(state.params["image_module"]["Conv_0"]["kernel"])
+    np.testing.assert_allclose(got, want)
+    # wrong variant refuses loudly
+    args2 = make_args(model_type="jlogits",
+                      resnet152_weights=str(tmp_path / "r152.pth"))
+    spec2, ok2 = fakenews.get_model_spec(args2, n_train=8)
+    sample2 = [np.zeros((2, 8), np.int32),
+               np.zeros((2, 32, 32, 3), np.float32)]
+    state2 = create_train_state(spec2, args2, jax.random.PRNGKey(0), sample2,
+                                steps_per_epoch=1, **ok2)
+    with pytest.raises(ValueError, match="jlogits_embed"):
+        fakenews.load_pretrained(args2, state2)
+
+
 @pytest.mark.slow
 def test_food101_siglip_trains_one_step(tmp_path):
     args = make_args(num_classes=4, model_type="jlogits", batch_size=8,
