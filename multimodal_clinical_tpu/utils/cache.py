@@ -1,29 +1,31 @@
 """Persistent XLA compilation cache.
 
 First compiles through this image's remote-TPU tunnel cost 1-10 minutes per
-program; the persistent cache makes every entry point (CLI, bench, driver
-hooks) reuse executables across processes.
+program; the persistent cache makes every DEVICE entry point (CLI, bench,
+driver hooks) reuse executables across processes.
 
-CPU and TPU executables must never share a cache dir: XLA:CPU AOT entries
-embed host machine features (AVX level, compile-time tuning pseudo-features
-like +prefer-no-gather) that the loader checks against the running host —
-loading through the "could lead to SIGILL" warning is a latent crash.
-``enable_persistent_cache`` therefore resolves the directory by the
-process's effective platform: CPU processes (pytest's virtual mesh, the
-driver's dryrun children) get a host-fingerprinted ``.jax_cache_cpu-<fp>``
-dir that self-purges when its marker (fingerprint + jaxlib version) no
-longer matches; device processes keep the shared ``.jax_cache``.
+CPU processes get NO persistent cache.  Measured on this image (round 5,
+two-process probe): XLA:CPU AOT entries embed compile-time tuning
+pseudo-features (``+prefer-no-gather``, ``+prefer-no-scatter``) that host
+feature detection never reports, so EVERY cross-process load — same host,
+same jaxlib, entries written seconds earlier — trips the
+``cpu_aot_loader.cc`` feature check ("could lead to execution errors such
+as SIGILL").  A persistent CPU cache can therefore only ever be loaded
+*through* that warning; within one process the in-memory executable cache
+already deduplicates.  ``enable_persistent_cache`` resolves the process's
+PRIMARY platform and simply skips cache setup on CPU (pytest's virtual
+mesh, the driver's dryrun children run uncached); device processes keep
+the shared ``.jax_cache``.  The host-fingerprint/marker helpers remain for
+the dryrun's handling of driver-inherited cache dirs.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 
 _REPO_DIR = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_MARKER = "HOST_MARKER"
 
 
 def host_fingerprint() -> str:
@@ -63,44 +65,13 @@ def _effective_platform() -> str:
     return platforms.split(",")[0].strip()
 
 
-def _marker_text() -> str:
-    import jaxlib
-
-    return f"{host_fingerprint()}:jaxlib-{getattr(jaxlib, '__version__', '?')}"
-
-
-def _purge_on_marker_mismatch(cache_dir: str, marker_text: str) -> bool:
-    """Create/validate ``cache_dir``'s host marker.  On mismatch the dir is
-    purged and re-created (returns True): its AOT entries were produced by
-    a different host generation or jaxlib and the loader would either
-    reject them per-entry (stderr noise) or load through the feature
-    warning (SIGILL risk).  Only called on dirs this module names itself —
-    never on a user-provided MMCT_JAX_CACHE."""
-    marker_path = os.path.join(cache_dir, _MARKER)
-    purged = False
-    if os.path.isdir(cache_dir):
-        try:
-            with open(marker_path) as f:
-                ok = f.read().strip() == marker_text
-        except OSError:
-            # no marker: a pre-marker-era dir — treat as unknown provenance
-            ok = not os.listdir(cache_dir)
-        if not ok:
-            print(f"[cache] host/jaxlib marker mismatch — purging {cache_dir}")
-            shutil.rmtree(cache_dir, ignore_errors=True)
-            purged = True
-    os.makedirs(cache_dir, exist_ok=True)
-    if not os.path.exists(marker_path):
-        with open(marker_path, "w") as f:
-            f.write(marker_text)
-    return purged
-
-
 def resolve_cache_dir(root: str | None = None) -> str:
     """Default cache dir for this process: platform-split under ``root``
     (the repo dir unless overridden for tests)."""
     root = root or _REPO_DIR
     if _effective_platform() == "cpu":
+        # name retained for explicit callers/diagnostics; the default
+        # enable path never uses it (CPU runs uncached — module docstring)
         return os.path.join(root, f".jax_cache_cpu-{host_fingerprint()}")
     return os.path.join(root, ".jax_cache")
 
@@ -121,11 +92,12 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
             cache_dir = explicit
             os.makedirs(cache_dir, exist_ok=True)
         else:
+            if _effective_platform() == "cpu":
+                # no persistent cache on CPU: every cross-process AOT load
+                # trips the feature check on this image (module docstring)
+                return
             cache_dir = resolve_cache_dir()
-            if cache_dir.rpartition(os.sep)[2].startswith(".jax_cache_cpu-"):
-                _purge_on_marker_mismatch(cache_dir, _marker_text())
-            else:
-                os.makedirs(cache_dir, exist_ok=True)
+            os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -25,16 +25,17 @@ import jax  # noqa: E402  (env must be set before first backend init)
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache for the suite, in the HOST-FINGERPRINTED CPU dir
-# (.jax_cache_cpu-<fp>, self-purging on host/jaxlib marker mismatch) — never
-# the shared TPU .jax_cache: CPU AOT entries from another machine generation
-# load through a "could lead to SIGILL" cpu_aot_loader warning.  Enabling it
-# here (instead of relying on whatever tool a test imports) makes cache
-# resolution deterministic for the whole session.
+# NO persistent compile cache for the suite: measured on this image, every
+# cross-process load of an XLA:CPU AOT entry trips the cpu_aot_loader
+# feature check (compile-time tuning pseudo-features like +prefer-no-gather
+# are never reported by host detection), so a CPU cache can only be loaded
+# through the "could lead to SIGILL" warning.  enable_persistent_cache
+# skips cache setup on CPU by design (utils/cache.py docstring); calling it
+# here still pins the decision for the whole session (and warms the heap).
 from multimodal_clinical_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
-assert "cpu" in str(jax.config.jax_compilation_cache_dir), (
+assert jax.config.jax_compilation_cache_dir is None, (
     jax.config.jax_compilation_cache_dir)
 
 assert jax.device_count() >= 8, jax.devices()
